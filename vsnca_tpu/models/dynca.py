@@ -1,0 +1,227 @@
+"""DyNCA cell as pure functions over a params pytree.
+
+The cell (perception → 1x1-conv MLP → stochastic residual update) follows
+ConditioneDyNCA/models/dynca.py:30-178 / ExtraChannels/models/dynca.py:30-167,
+re-expressed TPU-first:
+
+- NHWC layout; the two 1x1 convolutions are einsum contractions that XLA
+  tiles onto the MXU over all B*H*W pixels at once.
+- Perception is the shared 9-point VPU stencil (vsnca_tpu.ops.perception).
+- Randomness is an explicit PRNG key; rollouts thread keys through
+  ``lax.scan`` with optional per-step rematerialization so BPTT memory is
+  O(1) in rollout length (SURVEY.md §5.7).
+- Conditioning (positional encoding / edge map) is precomputed once per
+  rollout: the reference recomputes EdgeExtractor(cond_img) under no_grad at
+  every step (dynca.py:117-127) but cond_img is constant across the rollout,
+  so hoisting is semantics-preserving and removes 3 stencils/step.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.ops.cpe import cartesian_positional_encoding
+from vsnca_tpu.ops.perception import edge_extract, perceive_multiscale
+
+
+def _xavier_normal(key, shape, gain: float, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def dynca_init(key: jax.Array, cfg: NCAConfig) -> dict:
+    """Initialize DyNCA parameters.
+
+    Matches reference init (dynca.py:60-65): w1 Xavier-normal gain 0.2 with
+    torch-default uniform bias, w2 Xavier-normal gain 0.1 with zero bias.
+    Weights are stored as [in, out] matrices (1x1 convs == dense over pixels).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    k1, k2, kb = jax.random.split(key, 3)
+    p = cfg.perception_dim
+    bound = 1.0 / math.sqrt(p)
+    return {
+        "w1": _xavier_normal(k1, (p, cfg.fc_dim), 0.2, dtype),
+        "b1": jax.random.uniform(kb, (cfg.fc_dim,), dtype, -bound, bound),
+        "w2": _xavier_normal(k2, (cfg.fc_dim, cfg.c_in), 0.1, dtype),
+        "b2": jnp.zeros((cfg.c_in,), dtype),
+    }
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def make_conditioning(
+    cfg: NCAConfig,
+    shape_hw: Tuple[int, int],
+    cond_img: Optional[jnp.ndarray] = None,
+    batch: int = 1,
+) -> Optional[jnp.ndarray]:
+    """Precompute the per-rollout conditioning tensor [B, H, W, c_cond].
+
+    - 'pos_emb': CPE2D grid (dynca.py:216-253), broadcast over batch.
+    - 'edges': EdgeExtractor(cond_img) where cond_img is grayscale
+      [B, H, W, 1] (dynca.py:182-213). Gradients are stopped, matching the
+      reference's no_grad (dynca.py:123-124).
+    - None: no conditioning.
+    """
+    if cfg.conditioning == "pos_emb":
+        cpe = cartesian_positional_encoding(*shape_hw, dtype=jnp.dtype(cfg.dtype))
+        return jnp.broadcast_to(cpe[None], (batch,) + cpe.shape)
+    if cfg.conditioning == "edges":
+        assert cond_img is not None, "edges conditioning requires cond_img"
+        return jax.lax.stop_gradient(edge_extract(cond_img, cfg.edge_transform))
+    return None
+
+
+def dynca_step(
+    params: dict,
+    x: jnp.ndarray,
+    key: jax.Array,
+    cfg: NCAConfig,
+    cond: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+) -> jnp.ndarray:
+    """One NCA step: x [B,H,W,C] → x' [B,H,W,C].
+
+    perception → concat(cond) → w2(relu(w1(·))) → Bernoulli-masked residual
+    (dynca.py:117-133). The mask is floor(U(0,1) + rate), shared across
+    channels per cell.
+    """
+    rate = cfg.update_rate if update_rate is None else update_rate
+    y = perceive_multiscale(x, cfg.perception_scales, cfg.padding_mode)
+    if cond is not None:
+        y = jnp.concatenate([y, cond], axis=-1)
+    h = jax.nn.relu(
+        jnp.einsum("bhwf,fd->bhwd", y, params["w1"], preferred_element_type=x.dtype)
+        + params["b1"]
+    )
+    dx = (
+        jnp.einsum("bhwd,dc->bhwc", h, params["w2"], preferred_element_type=x.dtype)
+        + params["b2"]
+    )
+    b, hh, ww, _ = x.shape
+    mask = jnp.floor(
+        jax.random.uniform(key, (b, hh, ww, 1), dtype=x.dtype) + rate
+    )
+    return x + dx * mask
+
+
+def to_rgb(x: jnp.ndarray, c_out: int = 3) -> jnp.ndarray:
+    """RGB readout: first c_out channels times 2 (dynca.py:140-141)."""
+    return x[..., :c_out] * 2.0
+
+
+def dynca_seed(
+    cfg: NCAConfig, n: int, size, key: Optional[jax.Array] = None
+) -> jnp.ndarray:
+    """Seed states [n, H, W, seed_channels] (dynca.py:143-166).
+
+    'random' draws one uniform(-0.5, 0.5) state and repeats it across the
+    batch, as the reference does (dynca.py:160-164).
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    h, w = size
+    c = cfg.n_seed_channels
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.seed_mode == "zeros":
+        return jnp.zeros((n, h, w, c), dtype)
+    if cfg.seed_mode == "center_on":
+        sd = jnp.zeros((n, h, w, c), dtype)
+        return sd.at[:, h // 2, w // 2, :].set(1.0)
+    if cfg.seed_mode == "random":
+        assert key is not None, "random seed mode requires a PRNG key"
+        one = jax.random.uniform(key, (1, h, w, c), dtype) - 0.5
+        return jnp.broadcast_to(one, (n, h, w, c))
+    raise ValueError(f"unknown seed_mode {cfg.seed_mode}")
+
+
+def _scan_rollout(step_fn, x, key, n_steps, remat):
+    if remat == "per_step":
+        step_fn = jax.checkpoint(step_fn)
+
+    def body(carry, _):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        x = step_fn(x, sub)
+        return (x, key), None
+
+    (x, key), _ = jax.lax.scan(body, (x, key), None, length=n_steps)
+    return x, key
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "remat", "update_rate"))
+def dynca_rollout(
+    params: dict,
+    x: jnp.ndarray,
+    key: jax.Array,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond: Optional[jnp.ndarray] = None,
+    remat: str = "per_step",
+    update_rate: Optional[float] = None,
+):
+    """Roll the NCA n_steps (static) and return (state, rgb).
+
+    Equivalent to ``forward_nsteps`` (dynca.py:168-178) with scan + remat
+    instead of a Python loop.
+    """
+
+    def step_fn(x, sub):
+        return dynca_step(params, x, sub, cfg, cond, update_rate)
+
+    x, _ = _scan_rollout(step_fn, x, key, n_steps, remat)
+    return x, to_rgb(x, cfg.c_out)
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "n_segments", "steps_per_segment", "remat")
+)
+def dynca_rollout_with_taps(
+    params: dict,
+    x: jnp.ndarray,
+    key: jax.Array,
+    cfg: NCAConfig,
+    n_segments: int,
+    steps_per_segment: int,
+    cond: Optional[jnp.ndarray] = None,
+    remat: str = "per_step",
+):
+    """Rollout emitting an RGB frame every ``steps_per_segment`` steps.
+
+    Replaces the reference's return_middle_feature + [::64] slicing
+    (fit_video_motion.py:230-235) with a two-level scan: the outer scan emits
+    one frame per segment, so only n_segments frames are materialized.
+    Returns (state, rgb_frames [n_segments, B, H, W, c_out]).
+    """
+
+    def step_fn(x, sub):
+        return dynca_step(params, x, sub, cfg, cond)
+
+    if remat == "per_step":
+        inner = jax.checkpoint(step_fn)
+    else:
+        inner = step_fn
+
+    def segment(carry, _):
+        x, key = carry
+
+        def body(c, _):
+            x, key = c
+            key, sub = jax.random.split(key)
+            return (inner(x, sub), key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), None, length=steps_per_segment)
+        return (x, key), to_rgb(x, cfg.c_out)
+
+    (x, _), frames = jax.lax.scan(segment, (x, key), None, length=n_segments)
+    return x, frames

@@ -1,0 +1,85 @@
+"""Bilinear grid sampling and the MSOE TF-consistent upsample.
+
+``grid_sample_bilinear`` reproduces torch ``F.grid_sample(mode='bilinear',
+padding_mode='zeros', align_corners=False)`` for NHWC inputs; it exists to
+support the MSOE pyramid's TF-consistent bilinear upsample
+(ExtraChannels/models/MSOEmultiscale.py:26-44), whose nonstandard grid
+construction silently changes flow values if approximated with an ordinary
+resize.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def grid_sample_bilinear(imgs: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample NHWC images at normalized grid locations.
+
+    imgs: [B, H, W, C]; grid: [B, Ho, Wo, 2] with grid[..., 0] = x (width)
+    and grid[..., 1] = y (height) in [-1, 1]. align_corners=False mapping;
+    out-of-range taps contribute zero.
+    """
+    b, h, w, c = imgs.shape
+    gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = gx - x0
+    wy1 = gy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(yi, xi, wy, wx):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        # Gather per batch: flatten spatial dims and index.
+        flat = imgs.reshape(b, h * w, c)
+        lin = yi_c * w + xi_c  # [B, Ho, Wo]
+        vals = jnp.take_along_axis(
+            flat, lin.reshape(b, -1, 1).astype(jnp.int32), axis=1
+        ).reshape(lin.shape + (c,))
+        wgt = (wy * wx * valid.astype(imgs.dtype))[..., None]
+        return vals * wgt
+
+    out = (
+        tap(y0, x0, wy0, wx0)
+        + tap(y0, x1, wy0, wx1)
+        + tap(y1, x0, wy1, wx0)
+        + tap(y1, x1, wy1, wx1)
+    )
+    return out
+
+
+def tf_consistent_bilinear_upsample(imgs: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    """TF-style bilinear upsample used between MSOE pyramid levels.
+
+    imgs: [B, H, W, C] with H == W. Builds the same sampling grid as the
+    reference (MSOEmultiscale.py:26-44): an (N - p)-point linspace in
+    [-1 + 1/H, 1 - 1/H] replicate-padded by p = int(scale) - 1 at the
+    high end, applied separably to both axes.
+    """
+    b, h, w, c = imgs.shape
+    assert h == w, "TF-consistent upsample requires square inputs"
+    n = int(h * scale_factor)
+    delta = 1.0 / h
+    p = int(scale_factor) - 1
+
+    xs = np.linspace(-1.0 + delta, 1.0 - delta, n - p, dtype=np.float64)
+    if p > 0:
+        xs = np.concatenate([xs, np.full(p, xs[-1])])
+    xs = xs.astype(np.float32)
+
+    # Reference: gridx varies along rows, gridy along cols; stacked (y, x) so
+    # sampling-x follows output columns and sampling-y follows output rows —
+    # a separable resample with identical 1-D grids on both axes.
+    gx = jnp.asarray(np.broadcast_to(xs[None, :], (n, n)))  # x varies w/ cols
+    gy = jnp.asarray(np.broadcast_to(xs[:, None], (n, n)))  # y varies w/ rows
+    grid = jnp.stack([gx, gy], axis=-1)[None].repeat(b, axis=0)
+    return grid_sample_bilinear(imgs, grid)
