@@ -8,9 +8,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the image globally exports JAX_PLATFORMS=axon (remote-compiled
+# TPU), which would send every test compile through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402  (import after env setup)
 
+# The image's sitecustomize registers the axon TPU plugin regardless of env;
+# selecting cpu through jax.config is what actually sticks.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -104,8 +104,12 @@ def test_cpe_matches_reference_formula():
     cpe = np.asarray(cartesian_positional_encoding(h, w))
     xs = 2.0 * (np.arange(h) / h - 0.5 + 0.5 / h)
     ys = 2.0 * (np.arange(w) / w - 0.5 + 0.5 / w)
-    np.testing.assert_allclose(cpe[:, :, 0], np.broadcast_to(xs[:, None], (h, w)), rtol=1e-6)
-    np.testing.assert_allclose(cpe[:, :, 1], np.broadcast_to(ys[None, :], (h, w)), rtol=1e-6)
+    np.testing.assert_allclose(
+        cpe[:, :, 0], np.broadcast_to(xs[:, None], (h, w)), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        cpe[:, :, 1], np.broadcast_to(ys[None, :], (h, w)), rtol=1e-6, atol=1e-7
+    )
     assert abs(float(cpe.mean())) < 1e-6  # symmetric grid
 
 

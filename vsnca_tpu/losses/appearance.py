@@ -1,0 +1,196 @@
+"""Appearance (style) losses on VGG16 features: Gram, sliced Wasserstein,
+relaxed optimal transport.
+
+Parity targets: ExtraChannels/utils/loss/appearance_loss.py:70-208. All
+functions are jit-friendly: layer lists are static, the OT pixel subsample is
+a fixed-size keyed gather, and SlW projections are keyed draws.
+
+Feature layout here is NHWC maps from ``vgg16_style_features``; helpers
+flatten to [B, N, C] (pixels-as-rows) so cosine matrices and covariances run
+as single MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(f: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, N, C]."""
+    b, h, w, c = f.shape
+    return f.reshape(b, h * w, c)
+
+
+# ---------------------------------------------------------------- Gram
+
+
+def gram_matrix(f: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, C, C] gram / (H*W) (appearance_loss.py:77-83)."""
+    b, h, w, c = f.shape
+    x = f.reshape(b, h * w, c)
+    return jnp.einsum("bnc,bnd->bcd", x, x, preferred_element_type=jnp.float32) / (
+        h * w
+    )
+
+
+def gram_loss(
+    gen_feats: Sequence[jnp.ndarray], tgt_feats: Sequence[jnp.ndarray]
+) -> jnp.ndarray:
+    """Sum over layers of MSE between gram matrices (appearance_loss.py:85-95).
+
+    Target grams are gradient-stopped (reference computes them under
+    no_grad)."""
+    loss = 0.0
+    for g, t in zip(gen_feats, tgt_feats):
+        gg = gram_matrix(g)
+        gt = jax.lax.stop_gradient(gram_matrix(t))
+        loss = loss + jnp.mean((gt - gg) ** 2)
+    return loss
+
+
+# ------------------------------------------------- Sliced Wasserstein
+
+
+def _project_sort(x_bnc: jnp.ndarray, projs: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, C] × [C, P] → sorted [B, P, N] (appearance_loss.py:106-107)."""
+    y = jnp.einsum("bnc,cp->bpn", x_bnc, projs, preferred_element_type=jnp.float32)
+    return jnp.sort(y, axis=-1)
+
+
+def sliced_wasserstein_loss(
+    gen_feats: Sequence[jnp.ndarray],
+    tgt_feats: Sequence[jnp.ndarray],
+    key: jax.Array,
+    proj_n: int = 32,
+) -> jnp.ndarray:
+    """Sum over layers of the sliced-OT loss (appearance_loss.py:109-124).
+
+    Fresh random projections per layer per call, L2-normalized per
+    projection; target marginals nearest-resampled to the source length and
+    gradient-stopped.
+    """
+    from vsnca_tpu.ops.resize import resize_nearest_1d
+
+    loss = 0.0
+    for g, t in zip(gen_feats, tgt_feats):
+        key, sub = jax.random.split(key)
+        gf, tf_ = _flatten(g), _flatten(t)
+        c = gf.shape[-1]
+        projs = jax.random.normal(sub, (c, proj_n), gf.dtype)
+        projs = projs / jnp.linalg.norm(projs, axis=0, keepdims=True)
+        sp = _project_sort(gf, projs)
+        tp = jax.lax.stop_gradient(_project_sort(tf_, projs))
+        tp = resize_nearest_1d(tp, sp.shape[-1])
+        loss = loss + jnp.sum((sp - tp) ** 2)
+    return loss
+
+
+# ------------------------------------------------- Relaxed OT (REMD)
+
+
+def _pairwise_cos_dist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """[N, C] × [M, C] → [N, M] cosine distance with the reference's additive
+    epsilon (appearance_loss.py:134-140)."""
+    xn = jnp.sqrt(jnp.sum(x**2, axis=1, keepdims=True))
+    yn = jnp.sqrt(jnp.sum(y**2, axis=1, keepdims=True))
+    sim = (x @ y.T) / (xn + 1e-10) / (yn.T + 1e-10)
+    return 1.0 - sim
+
+
+def _remd(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Relaxed earth-mover distance (appearance_loss.py:142-158)."""
+    d = _pairwise_cos_dist(x, y)
+    m1 = jnp.mean(jnp.min(d, axis=1))
+    m2 = jnp.mean(jnp.min(d, axis=0))
+    return jnp.maximum(m1, m2)
+
+
+def _moment_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Mean + covariance matching, unbiased covariance
+    (appearance_loss.py:160-177)."""
+    mu_x = jnp.mean(x, axis=0, keepdims=True)
+    mu_y = jnp.mean(y, axis=0, keepdims=True)
+    mu_d = jnp.mean(jnp.abs(mu_x - mu_y))
+    xc = x - mu_x
+    yc = y - mu_y
+    cov_x = (xc.T @ xc) / (x.shape[0] - 1)
+    cov_y = (yc.T @ yc) / (y.shape[0] - 1)
+    return mu_d + jnp.mean(jnp.abs(cov_x - cov_y))
+
+
+def ot_style_loss(
+    gen_feats: Sequence[jnp.ndarray],
+    tgt_feats: Sequence[jnp.ndarray],
+    key: jax.Array,
+    subsample: int = 1000,
+    subsample_threshold: int = 32,
+) -> jnp.ndarray:
+    """Relaxed-EMD + moment loss, summed over layers, averaged over batch
+    (appearance_loss.py:179-208).
+
+    Layers whose height exceeds ``subsample_threshold`` are reduced to a
+    fixed ``subsample``-pixel without-replacement draw (the same indices for
+    generated and target, as in the reference). Target features are NOT
+    gradient-stopped here — parity with the reference, where the OT metric
+    receives live generated features and pre-detached target features; pass
+    detached targets if that behavior is desired.
+    """
+    loss = 0.0
+    for g, t in zip(gen_feats, tgt_feats):
+        b, h, w, c = g.shape
+        gf, tf_ = _flatten(g), _flatten(t)
+        n = h * w
+        if h > subsample_threshold and n > subsample:
+            key, sub = jax.random.split(key)
+            idx = jax.random.choice(sub, n, shape=(subsample,), replace=False)
+            gf = jnp.take(gf, idx, axis=1)
+            tf_ = jnp.take(tf_, idx, axis=1)
+
+        def per_item(gx, tx):
+            return _remd(tx, gx) + _moment_loss(tx, gx)
+
+        loss = loss + jnp.mean(jax.vmap(per_item)(gf, tf_))
+    return loss
+
+
+# ------------------------------------------------- dispatcher
+
+
+def appearance_loss(
+    vgg_params,
+    generated: jnp.ndarray,
+    target: jnp.ndarray,
+    loss_type: str,
+    key: Optional[jax.Array] = None,
+    subsample: int = 1000,
+    proj_n: int = 32,
+) -> jnp.ndarray:
+    """Appearance loss between RGB batches in [-1, 1]
+    (appearance_loss.py:48-67): rescale to [0,1], resize target to the
+    generated size, extract VGG features, apply the selected metric.
+    """
+    from vsnca_tpu.models.vgg import vgg16_style_features
+    from vsnca_tpu.ops.resize import resize_bilinear
+
+    gen = (generated + 1.0) / 2.0
+    tgt = (target + 1.0) / 2.0
+    if gen.shape[1:3] != tgt.shape[1:3]:
+        tgt = resize_bilinear(tgt, gen.shape[1:3])
+
+    include_img = loss_type == "SlW"
+    gen_f = vgg16_style_features(vgg_params, gen, include_image_as_feat=include_img)
+    tgt_f = vgg16_style_features(vgg_params, tgt, include_image_as_feat=include_img)
+    tgt_f = [jax.lax.stop_gradient(t) for t in tgt_f]
+
+    if loss_type == "Gram":
+        return gram_loss(gen_f, tgt_f)
+    if loss_type == "SlW":
+        assert key is not None
+        return sliced_wasserstein_loss(gen_f, tgt_f, key, proj_n)
+    if loss_type == "OT":
+        assert key is not None
+        return ot_style_loss(gen_f, tgt_f, key, subsample)
+    raise ValueError(f"unknown appearance loss type {loss_type}")

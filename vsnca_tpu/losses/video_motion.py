@@ -1,0 +1,107 @@
+"""Video-motion (motion-texture) loss on MSOE features of frame pairs.
+
+Parity target: ExtraChannels/utils/loss/video_motion_loss.py:12-261. For each
+consecutive generated-frame pair and the matching target-video pair, extract
+the 320-channel MSOE motion feature and match statistics with MotionOT /
+MotionSlW / MotionGram (MotionGram normalizes by C*H*W, unlike the
+appearance Gram's H*W).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def motion_feature(
+    msoe_params, image1: jnp.ndarray, image2: jnp.ndarray, size=(128, 128)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two RGB frames in [-1, 1] → (320-ch motion feature NHWC, flow)
+    (video_motion_loss.py:63-81)."""
+    from vsnca_tpu.models.msoe import motion_pair_from_rgb, msoe_forward
+
+    pair = motion_pair_from_rgb(image1, image2, size)
+    flow, feats = msoe_forward(msoe_params, pair, return_features=True)
+    return feats[0], flow
+
+
+def _motion_gram(f: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = f.shape
+    x = f.reshape(b, h * w, c)
+    return jnp.einsum("bnc,bnd->bcd", x, x, preferred_element_type=jnp.float32) / (
+        c * h * w
+    )
+
+
+def video_motion_loss(
+    msoe_params,
+    generated_frames: Sequence[jnp.ndarray],
+    target_frames: Sequence[jnp.ndarray],
+    loss_type: str = "MotionOT",
+    key: Optional[jax.Array] = None,
+    motion_img_size=(128, 128),
+    subsample: int = 1000,
+    proj_n: int = 32,
+):
+    """Sum over consecutive frame-pair indices of the selected motion metric
+    (video_motion_loss.py:84-111). Target features are gradient-stopped.
+
+    generated_frames / target_frames: lists of RGB [-1, 1] batches, length
+    >= 2. Returns (loss, (last_gen_flow, last_target_flow)).
+    """
+    from vsnca_tpu.losses.appearance import (
+        _flatten,
+        _moment_loss,
+        _remd,
+        _project_sort,
+    )
+    from vsnca_tpu.ops.resize import resize_nearest_1d
+
+    assert len(generated_frames) >= 2
+
+    loss = 0.0
+    flow_g = flow_t = None
+    for idx in range(len(generated_frames) - 1):
+        fg, flow_g = motion_feature(
+            msoe_params, generated_frames[idx], generated_frames[idx + 1],
+            motion_img_size,
+        )
+        ft, flow_t = motion_feature(
+            msoe_params, target_frames[idx], target_frames[idx + 1],
+            motion_img_size,
+        )
+        ft = jax.lax.stop_gradient(ft)
+        flow_t = jax.lax.stop_gradient(flow_t)
+
+        if loss_type == "MotionGram":
+            loss = loss + jnp.mean((_motion_gram(ft) - _motion_gram(fg)) ** 2)
+        elif loss_type == "MotionSlW":
+            assert key is not None
+            key, sub = jax.random.split(key)
+            gf, tf_ = _flatten(fg), _flatten(ft)
+            c = gf.shape[-1]
+            projs = jax.random.normal(sub, (c, proj_n), gf.dtype)
+            projs = projs / jnp.linalg.norm(projs, axis=0, keepdims=True)
+            sp = _project_sort(gf, projs)
+            tp = resize_nearest_1d(_project_sort(tf_, projs), sp.shape[-1])
+            loss = loss + jnp.sum((sp - tp) ** 2)
+        elif loss_type == "MotionOT":
+            assert key is not None
+            b, h, w, c = fg.shape
+            gf, tf_ = _flatten(fg), _flatten(ft)
+            if h > 32 and h * w > subsample:
+                key, sub = jax.random.split(key)
+                sel = jax.random.choice(sub, h * w, shape=(subsample,), replace=False)
+                gf = jnp.take(gf, sel, axis=1)
+                tf_ = jnp.take(tf_, sel, axis=1)
+
+            def per_item(gx, tx):
+                return _remd(tx, gx) + _moment_loss(tx, gx)
+
+            loss = loss + jnp.mean(jax.vmap(per_item)(gf, tf_))
+        else:
+            raise ValueError(f"unknown video motion loss type {loss_type}")
+
+    return loss, (flow_g, flow_t)

@@ -1,0 +1,194 @@
+"""Training CLI — the TPU-native counterpart of the reference entry points
+(ConditioneDyNCA/experiments.py, ExtraChannels/experiments.py,
+fit_vector_field_motion.py, fit_video_motion.py).
+
+Usage:
+    python -m vsnca_tpu.train.cli --preset static_texture \
+        [--style-image path | synthetic] [--target-images dir] \
+        [--max-iterations N] [--img-size S] [--out out/run1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup_args():
+    p = argparse.ArgumentParser(description="vsnca_tpu trainer")
+    p.add_argument("--preset", default="static_texture",
+                   choices=["static_texture", "vector_field_motion",
+                            "video_motion", "extra_channels", "edge_conditioned"])
+    p.add_argument("--style-image", default="synthetic",
+                   help="style image path, or 'synthetic'")
+    p.add_argument("--target-images", default=None,
+                   help="folder of content/conditioning frames (conditioned presets)")
+    p.add_argument("--target-video", default=None,
+                   help="target dynamics video (video_motion preset)")
+    p.add_argument("--motion-field", default="circular")
+    p.add_argument("--img-size", type=int, default=None)
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--save-every", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default="out/run")
+    p.add_argument("--log-every", type=int, default=10)
+    return p.parse_args()
+
+
+def main():
+    args = setup_args()
+
+    from vsnca_tpu.data.preprocess import (
+        preprocess_style_image,
+        preprocess_target_images,
+        preprocess_video,
+        rgb_to_grayscale_mean,
+        synthetic_style_image,
+        synthetic_video,
+    )
+    from vsnca_tpu.export.checkpoint import save_checkpoint
+    from vsnca_tpu.models.msoe import load_msoe
+    from vsnca_tpu.models.vgg import load_vgg16
+    from vsnca_tpu.train.presets import PRESETS
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    preset_kwargs = {}
+    if args.img_size:
+        preset_kwargs["img_size"] = args.img_size
+    if args.preset == "vector_field_motion":
+        preset_kwargs["field"] = args.motion_field
+    nca_cfg, loss_cfg, train_cfg = PRESETS[args.preset](**preset_kwargs)
+
+    overrides = {}
+    if args.max_iterations is not None:
+        overrides["max_iterations"] = args.max_iterations
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["lr"] = args.lr
+    if args.save_every is not None:
+        overrides["save_every"] = args.save_every
+    overrides["seed"] = args.seed
+    train_cfg = dataclasses.replace(train_cfg, **overrides)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "args.json"), "w") as f:
+        json.dump(
+            {
+                "cli": vars(args),
+                "nca": dataclasses.asdict(nca_cfg),
+                "loss": dataclasses.asdict(loss_cfg),
+                "train": dataclasses.asdict(train_cfg),
+            },
+            f, indent=2,
+        )
+
+    # --- data ---
+    hw = train_cfg.img_size
+    if args.style_image == "synthetic":
+        style = synthetic_style_image(hw, train_cfg.batch_size)
+    else:
+        style = preprocess_style_image(args.style_image, hw, train_cfg.batch_size)
+    style = jnp.asarray(style * 2.0 - 1.0)
+
+    target_frames = None
+    if args.target_images:
+        paths = sorted(
+            os.path.join(args.target_images, f)
+            for f in os.listdir(args.target_images)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        target_frames = jnp.asarray(preprocess_target_images(paths, hw))
+    elif args.preset in ("extra_channels", "edge_conditioned"):
+        target_frames = jnp.asarray(synthetic_video(hw, 8) )
+
+    target_video = None
+    if args.target_video:
+        target_video = jnp.asarray(preprocess_video(args.target_video, hw))
+    elif args.preset == "video_motion":
+        target_video = jnp.asarray(synthetic_video(hw, 16))
+
+    # --- feature extractors ---
+    vgg, vgg_pretrained = load_vgg16()
+    msoe = None
+    if loss_cfg.vector_field_motion_weight or loss_cfg.video_motion_weight:
+        msoe, msoe_pretrained = load_msoe()
+        print(f"MSOE weights: {'pretrained' if msoe_pretrained else 'RANDOM FALLBACK'}")
+    print(f"VGG16 weights: {'pretrained' if vgg_pretrained else 'RANDOM FALLBACK'}")
+
+    trainer = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                           msoe_params=msoe)
+    from vsnca_tpu.models.dynca import param_count
+
+    print(f"DyNCA param count: {param_count(trainer.params)}")
+
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    for i in range(train_cfg.max_iterations):
+        inputs = {"target_style": style}
+        if target_frames is not None:
+            idx = rng.choice(target_frames.shape[0], train_cfg.batch_size,
+                             replace=True)
+            aux = target_frames[jnp.asarray(idx)]
+            inputs["aux_imgs"] = aux
+            inputs["aux_gs"] = jnp.mean(aux, axis=-1, keepdims=True)
+
+        n_motion_frames, tap_every = 0, 0
+        if loss_cfg.video_motion_weight:
+            # 3 tapped frames, one per 64 steps (fit_video_motion.py:235)
+            n_motion_frames, tap_every = 3, 64
+            start = rng.randint(0, max(target_video.shape[0] - 3, 1))
+            inputs["target_motion_frames"] = jnp.stack(
+                [
+                    jnp.broadcast_to(
+                        target_video[start + k],
+                        (train_cfg.batch_size,) + target_video.shape[1:],
+                    )
+                    for k in range(3)
+                ]
+            )
+
+        log = trainer.train_iteration(
+            inputs, n_motion_frames=n_motion_frames, tap_every=tap_every
+        )
+
+        if i % args.log_every == 0:
+            rate = (i + 1) / (time.time() - t0)
+            terms = " ".join(f"{k}={v:.4f}" for k, v in log.logs.items())
+            print(f"iter {i:5d} loss={log.loss:.4f} {terms} ({rate:.2f} it/s)")
+
+        if train_cfg.save_every and i % train_cfg.save_every == 0:
+            save_checkpoint(
+                os.path.join(args.out, "checkpoint"),
+                {
+                    "params": trainer.params,
+                    "opt_state": trainer.opt_state,
+                    "pool": trainer.pool.states,
+                    "iteration": trainer.iteration,
+                },
+                metadata={"nca": dataclasses.asdict(nca_cfg)},
+            )
+
+    save_checkpoint(
+        os.path.join(args.out, "checkpoint"),
+        {
+            "params": trainer.params,
+            "opt_state": trainer.opt_state,
+            "pool": trainer.pool.states,
+            "iteration": trainer.iteration,
+        },
+        metadata={"nca": dataclasses.asdict(nca_cfg)},
+    )
+    print(f"done: {trainer.iteration} iterations, final loss {trainer.history[-1].loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""DyNCA training harness.
+
+The jitted core (``make_train_step``) fuses: conditioning precompute,
+optional content-channel append, 1-step no-grad pre-roll (flow baseline),
+the main BPTT rollout (scan + per-step remat), loss, per-parameter gradient
+normalization, and the Adam update — one XLA program per rollout-length
+bucket.
+
+Host side (``DyNCATrainer``) owns what the reference loop owns
+(ConditioneDyNCA/experiments.py:96-325, SURVEY.md §2.4): pool sampling,
+seed injection every K iters, rollout-length randomization (bucketed for
+jit), NaN abort, pool write-back with channel strip, checkpointing and
+metric logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vsnca_tpu.config import LossConfig, NCAConfig, TrainConfig
+from vsnca_tpu.losses.orchestrator import LossState, make_loss_fn
+from vsnca_tpu.models.dynca import (
+    dynca_init,
+    dynca_rollout,
+    dynca_rollout_with_taps,
+    dynca_seed,
+    dynca_step,
+    make_conditioning,
+    to_rgb,
+)
+from vsnca_tpu.pool.sample_pool import DevicePool, inject_seed_into_batch
+from vsnca_tpu.train.optim import make_optimizer
+
+
+def make_train_step(
+    nca_cfg: NCAConfig,
+    loss_state: LossState,
+    optimizer: optax.GradientTransformation,
+    remat: str = "per_step",
+):
+    """Build the jitted train step.
+
+    Returns step(params, opt_state, states, key, inputs, *, step_n,
+    n_motion_frames=0, tap_every=0) →
+    (params, opt_state, new_states, loss, logs).
+
+    ``inputs`` is a dict of device arrays; recognized keys:
+      target_style [B,H,W,3]      appearance target, in [-1,1]
+      aux_imgs     [B,H,W,3]      auxiliary/content frames, in [-1,1]
+      aux_gs       [B,H,W,1]      grayscale content (edge cond / extra channel)
+      target_motion_frames [T,B,H,W,3]  target video window for video-motion
+    """
+    loss_fn = make_loss_fn(loss_state)
+    cfg = loss_state.cfg
+
+    @partial(jax.jit, static_argnames=("step_n", "n_motion_frames", "tap_every"))
+    def train_step(
+        params,
+        opt_state,
+        states,
+        key,
+        inputs: Dict[str, jnp.ndarray],
+        *,
+        step_n: int,
+        n_motion_frames: int = 0,
+        tap_every: int = 0,
+    ):
+        b = states.shape[0]
+        hw = states.shape[1:3]
+
+        # Content channel append (ExtraChannels: experiments.py:211).
+        if nca_cfg.n_seed_channels < nca_cfg.c_in:
+            states = jnp.concatenate([states, inputs["aux_gs"]], axis=-1)
+
+        cond = make_conditioning(
+            nca_cfg, hw, cond_img=inputs.get("aux_gs"), batch=b
+        )
+
+        key, k_pre, k_roll, k_loss = jax.random.split(key, 4)
+
+        # 1-step pre-roll for the optic-flow baseline, no grad
+        # (experiments.py:220).
+        rgb_before = None
+        if cfg.vector_field_motion_weight != 0:
+            pre_state = jax.lax.stop_gradient(
+                dynca_step(params, states, k_pre, nca_cfg, cond)
+            )
+            rgb_before = to_rgb(pre_state, nca_cfg.c_out)
+
+        def objective(p):
+            input_dict = {}
+            if n_motion_frames > 0:
+                state_after, frames = dynca_rollout_with_taps(
+                    p, states, k_roll, nca_cfg, n_motion_frames, tap_every,
+                    cond=cond, remat=remat,
+                )
+                rgb_after = frames[-1]
+                input_dict["generated_image_list_motion"] = [
+                    frames[i] for i in range(n_motion_frames)
+                ]
+                if "target_motion_frames" in inputs:
+                    input_dict["target_motion_image_list"] = [
+                        inputs["target_motion_frames"][i]
+                        for i in range(n_motion_frames)
+                    ]
+            else:
+                state_after, rgb_after = dynca_rollout(
+                    p, states, k_roll, nca_cfg, step_n, cond=cond, remat=remat
+                )
+
+            input_dict["nca_state"] = state_after
+            input_dict["generated_image_list"] = [rgb_after]
+            input_dict["step_n"] = jnp.asarray(step_n, jnp.float32)
+            if rgb_before is not None:
+                input_dict["generated_image_before_nca"] = rgb_before
+                input_dict["generated_image_after_nca"] = rgb_after
+            if "target_style" in inputs:
+                input_dict["target_image_list"] = [inputs["target_style"]]
+            if "aux_imgs" in inputs:
+                input_dict["auxillary_image_list"] = [inputs["aux_imgs"]]
+                input_dict["content_image"] = inputs["aux_imgs"]
+
+            loss, logs = loss_fn(input_dict, k_loss)
+            return loss, (state_after, logs)
+
+        (loss, (state_after, logs)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(params)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        # Pool write-back strips appended conditioning channels
+        # (experiments.py:269).
+        new_states = state_after[..., : nca_cfg.n_seed_channels]
+        return params, opt_state, new_states, loss, logs
+
+    return train_step
+
+
+@dataclasses.dataclass
+class TrainLog:
+    iteration: int
+    loss: float
+    logs: Dict[str, float]
+    lr: Optional[float] = None
+
+
+class DyNCATrainer:
+    """Host-side training loop mirroring the reference harness behaviors."""
+
+    def __init__(
+        self,
+        nca_cfg: NCAConfig,
+        loss_cfg: LossConfig,
+        train_cfg: TrainConfig,
+        vgg_params=None,
+        msoe_params=None,
+        seed: Optional[int] = None,
+    ):
+        self.nca_cfg = nca_cfg
+        self.train_cfg = train_cfg
+        self.loss_state = LossState(
+            cfg=loss_cfg, vgg_params=vgg_params, msoe_params=msoe_params
+        )
+        s = train_cfg.seed if seed is None else seed
+        self.rng = np.random.RandomState(s)
+        self.key = jax.random.PRNGKey(s)
+
+        self.params = dynca_init(self._next_key(), nca_cfg)
+        self.optimizer = make_optimizer(
+            train_cfg.lr, train_cfg.lr_decay_steps, train_cfg.lr_decay_gamma
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.pool = DevicePool(
+            dynca_seed(
+                nca_cfg, train_cfg.pool_size, train_cfg.img_size,
+                key=self._next_key(),
+            )
+        )
+        self._train_step = make_train_step(
+            nca_cfg, self.loss_state, self.optimizer, train_cfg.remat
+        )
+        self.iteration = 0
+        self.history: list = []
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def rebuild_loss(self, new_cfg: LossConfig):
+        """Swap loss weights (dynamic calibration) — re-jits the step."""
+        self.loss_state = dataclasses.replace(self.loss_state, cfg=new_cfg)
+        self._train_step = make_train_step(
+            self.nca_cfg, self.loss_state, self.optimizer, self.train_cfg.remat
+        )
+
+    def sample_step_n(self) -> int:
+        """Random rollout length snapped to the nearest jit bucket."""
+        lo, hi = self.train_cfg.step_range
+        raw = self.rng.randint(lo, hi)
+        buckets = np.asarray(self.train_cfg.step_buckets)
+        return int(buckets[np.argmin(np.abs(buckets - raw))])
+
+    def train_iteration(
+        self,
+        inputs: Dict[str, jnp.ndarray],
+        step_n: Optional[int] = None,
+        n_motion_frames: int = 0,
+        tap_every: int = 0,
+    ) -> TrainLog:
+        tc = self.train_cfg
+        i = self.iteration
+
+        batch_idx = self.pool.sample_indices(self.rng, tc.batch_size)
+        states = self.pool.gather(batch_idx)
+
+        if tc.inject_seed_every and i % tc.inject_seed_every == 0:
+            seed = dynca_seed(
+                self.nca_cfg, 1, tc.img_size, key=self._next_key()
+            )
+            states = inject_seed_into_batch(states, seed, 1)
+
+        step_n = step_n if step_n is not None else self.sample_step_n()
+
+        self.params, self.opt_state, new_states, loss, logs = self._train_step(
+            self.params,
+            self.opt_state,
+            states,
+            self._next_key(),
+            inputs,
+            step_n=step_n,
+            n_motion_frames=n_motion_frames,
+            tap_every=tap_every,
+        )
+
+        loss_f = float(loss)
+        if not np.isfinite(loss_f):
+            raise FloatingPointError(
+                f"Loss is NaN/Inf at iteration {i}; training aborted "
+                "(reference behavior: train_failed.txt + exit)"
+            )
+
+        self.pool.scatter(batch_idx, new_states)
+        self.iteration += 1
+        log = TrainLog(i, loss_f, {k: float(v) for k, v in logs.items()})
+        self.history.append(log)
+        return log
+
+    def reseed_pool_slots(self, idx: np.ndarray):
+        """Anomaly recovery: replace diverged slots with fresh seeds
+        (fit_video_motion.py:316-327)."""
+        seeds = dynca_seed(
+            self.nca_cfg, len(idx), self.train_cfg.img_size, key=self._next_key()
+        )
+        self.pool.scatter(idx, seeds)
