@@ -1,0 +1,85 @@
+"""Fused Pallas rollout kernel vs the pure-JAX scan rollout.
+
+Runs under the TPU interpreter on CPU (pltpu.force_tpu_interpret_mode), with
+update_rate=1.0 so the stochastic mask is deterministic and results must
+match exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.models.dynca import dynca_init, dynca_rollout, make_conditioning
+from vsnca_tpu.ops.pallas_step import (
+    fused_rollout_chw,
+    fused_rollout_supported,
+    _pick_tile_h,
+    _uniform_threshold,
+)
+
+
+def _run_pallas(params, x_nhwc, cfg, n_steps, cond_nhwc=None):
+    xc = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    cond = (
+        jnp.transpose(cond_nhwc, (0, 3, 1, 2)) if cond_nhwc is not None else None
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_rollout_chw(params, xc, jnp.int32(0), cfg, n_steps, cond)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("pad_mode", ["circular", "replicate", "zeros"])
+def test_fused_rollout_matches_scan(pad_mode):
+    cfg = NCAConfig(c_in=12, fc_dim=32, padding_mode=pad_mode, update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 12)) - 0.5
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 3, remat="none")
+    got = _run_pallas(params, x, cfg, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rollout_with_pos_emb_conditioning():
+    cfg = NCAConfig(
+        c_in=8, fc_dim=16, padding_mode="circular", conditioning="pos_emb",
+        update_rate=1.0,
+    )
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=1)
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 2, cond=cond,
+                           remat="none")
+    got = _run_pallas(params, x, cfg, 2, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rollout_batch_dim():
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 128, 8)) - 0.5
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 2, remat="none")
+    got = _run_pallas(params, x, cfg, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_uniform_threshold_edges():
+    assert _uniform_threshold(1.0) == 0  # always update
+    assert _uniform_threshold(0.0) == 1 << 24  # never update
+    assert _uniform_threshold(0.5) == 1 << 23
+
+
+def test_supported_predicate():
+    cfg = NCAConfig(c_in=12, fc_dim=96)
+    assert fused_rollout_supported(cfg, 256, 256)
+    assert not fused_rollout_supported(cfg, 1024, 1024)  # VMEM
+    cfg_ms = NCAConfig(c_in=12, fc_dim=96, perception_scales=(0, 1))
+    assert not fused_rollout_supported(cfg_ms, 128, 128)
+
+
+def test_tile_pick_divides():
+    for h, w in [(128, 128), (256, 256), (96, 96), (64, 192)]:
+        th = _pick_tile_h(h, w)
+        assert h % th == 0

@@ -25,19 +25,32 @@ from vsnca_tpu.models.dynca import (
 )
 
 
-def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Median-of-iters wall time per call, seconds."""
+def _fetch(x) -> None:
+    """Force completion by fetching one element to the host.
+
+    On the experimental axon platform ``block_until_ready`` returns without
+    draining the execution queue; a device→host transfer is the only
+    reliable fence.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def _timeit_chained(step, x0, warmup: int = 2, iters: int = 10) -> float:
+    """Average seconds per call of ``x = step(x)`` with the calls chained
+    through their data dependency (serializes execution on-device) and a
+    single host fetch at the end as the fence."""
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
+        x = step(x)
+    _fetch(x)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        x = step(x)
+    _fetch(x)
+    return (time.perf_counter() - t0) / iters
 
 
 def benchmark_rollout(
@@ -72,11 +85,11 @@ def benchmark_rollout(
         dynca_rollout, cfg=cfg, n_steps=n_steps, cond=cond, remat="none"
     )
 
-    def run(params, x, key):
+    def step(x):
         state, rgb = roll(params, x, key)
         return state
 
-    t = _timeit(run, params, x, key, iters=iters)
+    t = _timeit_chained(step, x, iters=iters)
     steps_per_sec = n_steps / t
     cells = batch * size * size
     return {

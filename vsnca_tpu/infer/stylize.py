@@ -44,42 +44,103 @@ class VideoStylizer:
         size,
         step_n: int = 24,
         key: Optional[jax.Array] = None,
+        use_fused: str = "auto",
     ):
+        """``use_fused``: 'auto' selects the fused Pallas VMEM-resident
+        rollout kernel when the grid fits (TPU only); 'never' forces the
+        XLA scan path; 'always' asserts kernel support."""
         self.params = params
         self.cfg = nca_cfg
         self.size = (size, size) if isinstance(size, int) else tuple(size)
         self.step_n = step_n
         self.key = key if key is not None else jax.random.PRNGKey(0)
-        self.state = dynca_seed(nca_cfg, 1, self.size, key=self._split())
         self._extra_channel = nca_cfg.n_seed_channels < nca_cfg.c_in
+        self._frame_idx = 0
+
+        from vsnca_tpu.ops.pallas_step import fused_rollout_supported
+
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        supported = on_tpu and fused_rollout_supported(nca_cfg, *self.size)
+        if use_fused == "always":
+            assert supported, "fused kernel unsupported for this config/size"
+        self._fused = supported and use_fused in ("auto", "always")
+        self._frame_fn = jax.jit(self._frame_step)
+        self.reset()
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
         return sub
 
     def reset(self):
-        self.state = dynca_seed(self.cfg, 1, self.size, key=self._split())
+        """(Re)seed. On the fused path the persistent state is CHW so the
+        per-frame program never transposes the full state tensor."""
+        state = dynca_seed(self.cfg, 1, self.size, key=self._split())
+        self.state = (
+            jnp.transpose(state, (0, 3, 1, 2)) if self._fused else state
+        )
 
-    def step_frame(self, frame: jnp.ndarray) -> jnp.ndarray:
-        """Advance one content frame [1, H, W, 3] in [-1, 1] → stylized RGB
-        [1, H, W, 3] in [0, 1]."""
+    @property
+    def state_nhwc(self) -> jnp.ndarray:
+        return (
+            jnp.transpose(self.state, (0, 2, 3, 1)) if self._fused else self.state
+        )
+
+    def _frame_step(self, params, state, frame, seed_or_key):
+        """Whole per-frame computation as ONE traced program: grayscale +
+        conditioning + rollout + channel strip + clip. A single dispatch per
+        frame (per-op dispatch latency would otherwise dominate at 24
+        steps/frame)."""
         gray = jnp.mean(frame, axis=-1, keepdims=True)
-        h = self.state
         cond = None
-        if self._extra_channel:
-            h = jnp.concatenate([h, gray], axis=-1)
-        elif self.cfg.conditioning is not None:
+        if not self._extra_channel and self.cfg.conditioning is not None:
             cond = make_conditioning(
                 self.cfg, self.size, cond_img=gray, batch=frame.shape[0]
             )
+
+        if self._fused:
+            from vsnca_tpu.ops.pallas_step import fused_rollout_chw
+
+            # state is CHW; only small conditioning/rgb tensors transpose.
+            h = state
+            if self._extra_channel:
+                h = jnp.concatenate(
+                    [state, jnp.transpose(gray, (0, 3, 1, 2))], axis=1
+                )
+            cond_chw = (
+                jnp.transpose(cond, (0, 3, 1, 2)) if cond is not None else None
+            )
+            out = fused_rollout_chw(
+                params, h, seed_or_key, self.cfg, self.step_n,
+                cond=cond_chw, compute_dtype="bfloat16",
+            )
+            if self._extra_channel:
+                out = out[:, : self.cfg.n_seed_channels]
+            rgb = jnp.transpose(out[:, : self.cfg.c_out], (0, 2, 3, 1)) * 2.0
+            return out, (jnp.clip(rgb, -1.0, 1.0) + 1.0) / 2.0
+
+        h = state
+        if self._extra_channel:
+            h = jnp.concatenate([h, gray], axis=-1)
         state, rgb = dynca_rollout(
-            self.params, h, self._split(), self.cfg, self.step_n, cond=cond,
+            params, h, seed_or_key, self.cfg, self.step_n, cond=cond,
             remat="none",
         )
         if self._extra_channel:
             state = state[..., : self.cfg.n_seed_channels]
-        self.state = state
-        return (jnp.clip(rgb, -1.0, 1.0) + 1.0) / 2.0
+        return state, (jnp.clip(rgb, -1.0, 1.0) + 1.0) / 2.0
+
+    def step_frame(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """Advance one content frame [1, H, W, 3] in [-1, 1] → stylized RGB
+        [1, H, W, 3] in [0, 1]."""
+        if self._fused:
+            self._frame_idx += 1
+            seed_or_key = jnp.int32(self._frame_idx)
+        else:
+            seed_or_key = self._split()
+        self.state, rgb = self._frame_fn(
+            self.params, self.state, frame, seed_or_key
+        )
+        return rgb
 
 
 def stylize_frames(

@@ -1,0 +1,302 @@
+"""Fused Pallas NCA rollout kernel — the TPU counterpart of the reference's
+hand-fused WebGL step shaders (docs/dynca.js:390-600, SURVEY.md §2.7).
+
+Design (see pallas_guide.md):
+
+- The ENTIRE rollout runs inside one kernel with the state resident in VMEM:
+  for grids up to ~304^2 x 16ch fp32 the state (+ padded scratch) fits in the
+  16 MB VMEM budget, so the N-step loop touches HBM exactly twice (initial
+  load, final store). The XLA path materializes perception/hidden tensors to
+  HBM every step and is bandwidth-bound; this kernel is compute-bound.
+- Layout is [C, H, W] ("CHW"): W maps to lanes (multiples of 128 for the
+  sizes of interest), H to sublanes, and the tiny channel dim is a leading
+  untiled axis — the NHWC layout would pad C=12 lanes to 128 (10x VMEM
+  waste).
+- The two 1x1 convs run as [F, K] x [K, N] MXU matmuls with pixels streaming
+  along N, row-tile by row-tile; perception is the shared 9-point stencil on
+  a per-step padded scratch buffer honoring the replicate/circular/zeros
+  mode (ConditioneDyNCA/models/dynca.py:85).
+- The stochastic per-cell mask uses the on-core PRNG
+  (pltpu.prng_seed/prng_random_bits): mask = 1 iff u24 >= (1-rate)*2^24,
+  which equals floor(U(0,1) + rate) in distribution
+  (dynca.py:131). Bit-parity with jax.random is neither possible nor
+  required (SURVEY.md §7 "Randomness semantics").
+
+This is the inference/deployment path (no custom VJP yet); training uses the
+pure-JAX step whose gradients XLA derives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def vmem_bytes_estimate(c: int, h: int, w: int, fc_dim: int, tile_h: int) -> int:
+    """Rough VMEM footprint: state + padded scratch + per-tile temporaries."""
+    state = c * h * _round_up(w, _LANE) * 4
+    padded = c * (h + 2) * _round_up(w + 2, _LANE) * 4
+    n_tile = tile_h * w
+    percept = 4 * c * _round_up(n_tile, _LANE) * 4 * 2  # percept + hidden headroom
+    hidden = fc_dim * _round_up(n_tile, _LANE) * 4
+    return state + padded + percept + hidden
+
+
+def _pick_tile_h(h: int, w: int, target_n: int = 4096) -> int:
+    """Largest divisor of H whose row-tile pixel count is <= target."""
+    best = 8
+    for th in range(8, h + 1, 8):
+        if h % th == 0 and th * w <= target_n:
+            best = th
+    return best
+
+
+def _uniform_threshold(update_rate: float) -> int:
+    """u24 threshold such that P(bits24 >= thr) == update_rate."""
+    thr = int(round((1.0 - update_rate) * (1 << 24)))
+    return max(0, min(thr, 1 << 24))
+
+
+def _stencil_from(padded_slice_fn, k) -> jnp.ndarray:
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            kv = float(k[di][dj])
+            if kv == 0.0:
+                continue
+            term = padded_slice_fn(di, dj)
+            term = term * kv if kv != 1.0 else term
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _make_kernel(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    tile_h: int,
+    has_cond: bool,
+    update_rate: float,
+    compute_dtype=jnp.float32,
+):
+    c = cfg.c_in
+    cc = cfg.c_cond if has_cond else 0
+    p_dim = 4 * c + cc
+    f = cfg.fc_dim
+    thr = _uniform_threshold(update_rate)
+    n_tiles = h // tile_h
+    pad_mode = cfg.padding_mode
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            cond_ref, out_ref, padded_ref, dma_sem = rest
+        else:
+            out_ref, padded_ref, dma_sem = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + bidx)
+
+        # State lives in out_ref for the whole rollout; x stays in HBM and
+        # is DMA'd in once (saves a second whole-state VMEM block).
+        load = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[0], dma_sem)
+        load.start()
+        load.wait()
+
+        if pad_mode == "zeros":
+            padded_ref[:] = jnp.zeros_like(padded_ref)
+
+        def one_step(_, carry):
+            state = out_ref[0]  # [C, H, W]
+
+            # ---- build padded snapshot [C, H+2, W+2] ----
+            padded_ref[0, :, 1 : h + 1, 1 : w + 1] = state
+            if pad_mode == "circular":
+                padded_ref[0, :, 0, 1 : w + 1] = state[:, h - 1, :]
+                padded_ref[0, :, h + 1, 1 : w + 1] = state[:, 0, :]
+                padded_ref[0, :, :, 0] = padded_ref[0, :, :, w]
+                padded_ref[0, :, :, w + 1] = padded_ref[0, :, :, 1]
+            elif pad_mode == "replicate":
+                padded_ref[0, :, 0, 1 : w + 1] = state[:, 0, :]
+                padded_ref[0, :, h + 1, 1 : w + 1] = state[:, h - 1, :]
+                padded_ref[0, :, :, 0] = padded_ref[0, :, :, 1]
+                padded_ref[0, :, :, w + 1] = padded_ref[0, :, :, w]
+            # zeros: halo stays zero; center rewritten every step.
+
+            # ---- per row-tile: stencil -> MLP -> mask -> residual ----
+            for t in range(n_tiles):
+                r0 = t * tile_h
+
+                def nb(di, dj):
+                    return padded_ref[0, :, r0 + di : r0 + di + tile_h, dj : dj + w]
+
+                center = out_ref[0, :, r0 : r0 + tile_h, :]
+                sx = _stencil_from(nb, SOBEL_X)
+                sy = _stencil_from(nb, SOBEL_Y)
+                lap = _stencil_from(nb, LAPLACIAN)
+
+                parts = [center, sx, sy, lap]
+                if cond_ref is not None:
+                    parts.append(cond_ref[0, :, r0 : r0 + tile_h, :])
+                percept = jnp.concatenate(parts, axis=0)  # [P, tile_h, W]
+                percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
+
+                hid = jnp.maximum(
+                    jnp.dot(
+                        w1t_ref[:], percept, preferred_element_type=jnp.float32
+                    )
+                    + b1_ref[:].reshape(f, 1),
+                    0.0,
+                ).astype(compute_dtype)
+                dx = (
+                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+                    + b2_ref[:].reshape(c, 1)
+                ).reshape(c, tile_h, w)
+
+                bits = pltpu.prng_random_bits((tile_h, w))
+                u24 = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+                )
+                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                out_ref[0, :, r0 : r0 + tile_h, :] = center + dx * mask[None]
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "update_rate", "interpret", "compute_dtype"),
+)
+def fused_rollout_chw(
+    params: dict,
+    x: jnp.ndarray,
+    seed: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Run n_steps fused NCA steps on CHW state.
+
+    x: [B, C, H, W] float32; cond: optional [B, c_cond, H, W]; seed: int32
+    scalar. Returns the new state [B, C, H, W]. Requires
+    perception_scales == (0,) and the whole grid to fit in VMEM
+    (use ``fused_rollout_supported`` to check).
+
+    ``compute_dtype='bfloat16'`` runs the MXU matmuls in bf16 with f32
+    accumulation (state stays f32): the deployment-grade fast path — the
+    reference's own WebGL runtime uses uint8-quantized weights
+    (convert_models_to_webgl.ipynb), so bf16 is strictly tighter.
+    """
+    assert tuple(cfg.perception_scales) == (0,), (
+        "fused kernel supports single-scale perception"
+    )
+    b, c, h, w = x.shape
+    assert c == cfg.c_in
+    rate = cfg.update_rate if update_rate is None else update_rate
+    tile_h = _pick_tile_h(h, w)
+    has_cond = cond is not None
+    cdt = jnp.dtype(compute_dtype)
+
+    kernel = _make_kernel(cfg, h, w, n_steps, tile_h, has_cond, rate, cdt)
+
+    # Weights pre-transposed for the [F, K] x [K, N] orientation.
+    w1t = params["w1"].T.astype(cdt)  # [F, P]
+    b1 = params["b1"].astype(jnp.float32)
+    w2t = params["w2"].T.astype(cdt)  # [C, F]
+    b2 = params["b2"].astype(jnp.float32)
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd in-kernel
+        rep(w1t.shape),
+        rep(b1.shape),
+        rep(w2t.shape),
+        rep(b2.shape),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), x, w1t, b1, w2t, b2]
+    if has_cond:
+        in_specs.append(block(cond.shape[1:]))
+        args.append(cond.astype(jnp.float32))
+
+    flops_step = 2 * (4 * c + cfg.c_cond) * cfg.fc_dim * h * w + 2 * cfg.fc_dim * c * h * w
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        in_specs=in_specs,
+        out_specs=block((c, h, w)),
+        scratch_shapes=[
+            pltpu.VMEM((1, c, h + 2, w + 2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=2 * b * c * h * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def fused_rollout_supported(cfg: NCAConfig, h: int, w: int) -> bool:
+    """True when the whole-grid-in-VMEM kernel applies."""
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    tile_h = _pick_tile_h(h, w)
+    if h % tile_h != 0:
+        return False
+    return vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h) < 13 * 2**20
+
+
+def fused_rollout(
+    params: dict,
+    x_nhwc: jnp.ndarray,
+    seed,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond_nhwc: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+    compute_dtype: str = "float32",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NHWC wrapper: returns (state, rgb) like ``dynca_rollout``."""
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    cond = (
+        jnp.transpose(cond_nhwc, (0, 3, 1, 2)) if cond_nhwc is not None else None
+    )
+    out = fused_rollout_chw(
+        params, x, seed, cfg, n_steps, cond, update_rate,
+        compute_dtype=compute_dtype,
+    )
+    state = jnp.transpose(out, (0, 2, 3, 1))
+    return state, state[..., : cfg.c_out] * 2.0
