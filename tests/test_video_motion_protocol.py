@@ -1,0 +1,61 @@
+"""Video-motion protocol (warmup → calibrate → reinit) smoke test at tiny
+sizes, plus the eval hook."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vsnca_tpu.config import LossConfig, NCAConfig, TrainConfig
+from vsnca_tpu.models.msoe import msoe_random_init
+from vsnca_tpu.models.vgg import vgg16_random_init
+from vsnca_tpu.train.video_motion_protocol import (
+    VideoMotionProtocol,
+    synthesize_and_score,
+)
+
+
+def test_protocol_warmup_calibrate_reinit(tmp_path):
+    nca = NCAConfig(c_in=6, fc_dim=16, conditioning="pos_emb")
+    loss = LossConfig(
+        overflow_weight=1.0,
+        appearance_weight=1.0,
+        appearance_loss_type="Gram",
+        video_motion_weight=5.0,
+        video_motion_loss_type="MotionGram",
+        motion_img_size=(32, 32),
+    )
+    train = TrainConfig(
+        img_size=(32, 32), batch_size=2, pool_size=8,
+        step_range=(4, 9), step_buckets=(4, 8), inject_seed_every=2,
+        max_iterations=4,
+    )
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(6, 32, 32, 3).astype(np.float32) * 2 - 1
+    )
+    style = video[0:1].repeat(2, axis=0)
+    proto = VideoMotionProtocol(
+        nca, loss, train, video, style, warmup_iters=2,
+        n_motion_frames=2, tap_every=4,
+    )
+    phases = []
+    trainer = proto.run(
+        vgg16_random_init(jax.random.PRNGKey(0)),
+        msoe_random_init(jax.random.PRNGKey(1)),
+        log_every=1,
+        callback=lambda phase, i, log: phases.append((phase, i, log.loss)),
+    )
+    assert any(p == "warmup" for p, _, _ in phases)
+    assert any(p == "main" for p, _, _ in phases)
+    # calibrated weight applied (clamped to [2, 10] by the linear fit path
+    # unless the fit wasn't triggered — either way, weight is finite + positive)
+    assert proto.loss_cfg.video_motion_weight > 0
+    assert trainer.iteration == 2  # main phase ran max_iterations - warmup
+
+    result = synthesize_and_score(
+        trainer, video[:2], str(tmp_path), n_frames=2, step_n=4
+    )
+    assert np.isfinite(result["appearance_loss_mean"])
+    assert os.path.exists(os.path.join(str(tmp_path), "final_loss_test.txt"))

@@ -111,6 +111,15 @@ def vgg16_features(
     Sequential: index 2k = conv k output, 2k+1 = after its ReLU, pools get
     their own indices. Returns NHWC feature maps.
     """
+    n_pools_needed = sum(
+        1
+        for conv_i, (_, pool) in enumerate(VGG16_CONVS)
+        if pool and VGG16_CONV_INDICES[conv_i] < max(layers)
+    )
+    assert min(imgs.shape[1:3]) >> n_pools_needed > 0, (
+        f"input {imgs.shape[1:3]} too small for VGG tap {max(layers)} "
+        f"({n_pools_needed} pools); would produce empty feature maps"
+    )
     mean = jnp.asarray(IMAGENET_MEAN, imgs.dtype)
     std = jnp.asarray(IMAGENET_STD, imgs.dtype)
     x = (imgs - mean) / std

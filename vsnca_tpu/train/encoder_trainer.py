@@ -1,0 +1,268 @@
+"""EncoderConditioning training harness (BASELINE config 5).
+
+Parity targets: EncoderConditioning/conditioned_trainer.py:27-181,
+trainer.py:11-88, loss/loss.py:17-76. Protocol:
+
+- list-backed pool; None or fully-dead entries (alive-mask sum == 0) are
+  resampled as fresh seeds; the first 2 batch slots are ALWAYS fresh seeds;
+  each sampled batch is trained TWICE (conditioned_trainer.py:167-171).
+- per train_batch: grow 48-96 steps (bucketed for jit), loss = overflow +
+  appearance(style) + content(goal), per-parameter grad normalization
+  (eps 1e-10 here, matching conditioned_trainer.py:136), Adam lr 2e-3,
+  MultiStepLR([5000], 0.3).
+- optional circular damage: random-centered radius-r disks zeroed in the
+  last ``num_damaged`` batch entries (conditioned_trainer.py:92-99,
+  utils/utils.py:39-56).
+- loss inputs are the RAW state RGB channels and a [0,1] style image — the
+  EncoderConditioning stack does NOT rescale [-1,1]→[0,1]
+  (loss/appearance_loss.py:69-71 commented out).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vsnca_tpu.config import ConditionedNCAConfig
+from vsnca_tpu.losses.appearance import gram_loss, ot_style_loss, sliced_wasserstein_loss
+from vsnca_tpu.losses.overflow import overflow_loss
+from vsnca_tpu.models.conditioned_nca import (
+    alive_mask,
+    conditioned_nca_grow,
+    conditioned_nca_init,
+    conditioned_nca_seed,
+    conditioned_nca_step,
+    encode_goal,
+)
+from vsnca_tpu.models.vgg import vgg16_content_features, vgg16_style_features
+from vsnca_tpu.pool.sample_pool import ListPool
+from vsnca_tpu.train.optim import multistep_lr
+
+
+def create_2d_circular_mask(h, w, rng: np.random.RandomState, radius: int = 3):
+    """Random-centered circular damage mask (utils/utils.py:39-56; the
+    reference's missing-numpy-import bug fixed)."""
+    center = (
+        rng.randint(radius + 2, w - (radius + 2)),
+        rng.randint(radius + 2, h - (radius + 2)),
+    )
+    yy, xx = np.ogrid[:h, :w]
+    dist = np.sqrt((xx - center[0]) ** 2 + (yy - center[1]) ** 2)
+    return dist <= radius
+
+
+def make_encoder_loss_fn(
+    vgg_params,
+    style_image: jnp.ndarray,
+    appearance_loss_type: str = "OT",
+    appearance_weight: float = 1.0,
+    content_weight: float = 1.0,
+    overflow_weight: float = 1.0,
+    ot_subsample: int = 1000,
+):
+    """Loss = overflow + appearance(vs style, precomputed features) +
+    content(vs goal image) on raw generated RGB (loss/loss.py:17-76).
+
+    style_image: [1, H, W, 3] in [0, 1].
+    """
+    style_feats = None
+    if appearance_weight:
+        style_feats = [
+            jax.lax.stop_gradient(f)
+            for f in vgg16_style_features(
+                vgg_params, style_image,
+                include_image_as_feat=appearance_loss_type == "SlW",
+            )
+        ]
+
+    def loss_fn(nca_state, generated, targets, key):
+        logs: Dict[str, jnp.ndarray] = {}
+        total = jnp.asarray(0.0, jnp.float32)
+        if overflow_weight:
+            l = overflow_loss(nca_state) * overflow_weight
+            logs["overflow"] = l
+            total += l
+        if appearance_weight:
+            gen_feats = vgg16_style_features(
+                vgg_params, generated,
+                include_image_as_feat=appearance_loss_type == "SlW",
+            )
+            b = generated.shape[0]
+            tiled = [jnp.repeat(f, b, axis=0) for f in style_feats]
+            if appearance_loss_type == "Gram":
+                l = gram_loss(gen_feats, tiled)
+            elif appearance_loss_type == "SlW":
+                key, sub = jax.random.split(key)
+                l = sliced_wasserstein_loss(gen_feats, tiled, sub)
+            else:
+                key, sub = jax.random.split(key)
+                l = ot_style_loss(gen_feats, tiled, sub, ot_subsample)
+            l = l * appearance_weight
+            logs["appearance"] = l
+            total += l
+        if content_weight:
+            gf = vgg16_content_features(vgg_params, generated)
+            tf_ = jax.lax.stop_gradient(vgg16_content_features(vgg_params, targets))
+            l = jnp.mean((gf - tf_) ** 2) * content_weight
+            logs["content"] = l
+            total += l
+        return total, logs
+
+    return loss_fn
+
+
+class ConditionedNCATrainer:
+    def __init__(
+        self,
+        cfg: ConditionedNCAConfig,
+        dataset,
+        style_image: jnp.ndarray,
+        vgg_params,
+        nca_steps=(48, 96),
+        step_buckets=(48, 64, 80, 96),
+        lr: float = 2e-3,
+        pool_size: int = 512,
+        num_damaged: int = 0,
+        damage_radius: int = 3,
+        appearance_loss_type: str = "OT",
+        appearance_weight: float = 1.0,
+        content_weight: float = 1.0,
+        overflow_weight: float = 1.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.min_steps, self.max_steps = nca_steps
+        self.step_buckets = step_buckets
+        self.num_damaged = num_damaged
+        self.damage_radius = damage_radius
+
+        self.rng = np.random.RandomState(seed)
+        self.py_rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.params = conditioned_nca_init(self._next_key(), cfg)
+        self.optimizer = optax.chain(
+            optax.stateless(
+                lambda g, p: jax.tree_util.tree_map(
+                    lambda x: x / (jnp.linalg.norm(x.reshape(-1)) + 1e-10), g
+                )
+            ),
+            optax.adam(multistep_lr(lr, (5000,), 0.3)),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.pool = ListPool(pool_size)
+        self.loss_fn = make_encoder_loss_fn(
+            vgg_params, style_image, appearance_loss_type,
+            appearance_weight, content_weight, overflow_weight,
+        )
+        self._step_cache: Dict[int, callable] = {}
+        self.iteration = 0
+        self.history = []
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _train_batch_fn(self, num_steps: int):
+        if num_steps not in self._step_cache:
+            cfg = self.cfg
+            loss_fn = self.loss_fn
+            optimizer = self.optimizer
+
+            @jax.jit
+            def step(params, opt_state, batch, targets, key):
+                k_grow, k_loss = jax.random.split(key)
+
+                def objective(p):
+                    grown = conditioned_nca_grow(
+                        p, batch, targets, k_grow, cfg, num_steps
+                    )
+                    generated = grown[..., : cfg.num_target_channels]
+                    loss, logs = loss_fn(grown, generated, targets, k_loss)
+                    return loss, (grown, logs)
+
+                (loss, (grown, logs)), grads = jax.value_and_grad(
+                    objective, has_aux=True
+                )(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, grown, loss, logs
+
+            self._step_cache[num_steps] = step
+        return self._step_cache[num_steps]
+
+    def sample_num_steps(self) -> int:
+        raw = self.py_rng.randint(self.min_steps, self.max_steps)
+        buckets = np.asarray(self.step_buckets)
+        return int(buckets[np.argmin(np.abs(buckets - raw))])
+
+    def _is_dead(self, entry: np.ndarray) -> bool:
+        alive = alive_mask(jnp.asarray(entry)[None], self.cfg)
+        return float(jnp.sum(alive)) == 0.0
+
+    def damage(self, batch: jnp.ndarray) -> jnp.ndarray:
+        """Zero circular patches in the LAST num_damaged entries
+        (conditioned_trainer.py:92-99)."""
+        size = batch.shape[0]
+        s = batch.shape[1]
+        for i in range(self.num_damaged):
+            mask = create_2d_circular_mask(s, s, self.rng, self.damage_radius)
+            idx = max(size - i - 1, 0)
+            batch = batch.at[idx].set(
+                batch[idx] * (~mask[:, :, None]).astype(batch.dtype)
+            )
+        return batch
+
+    def train_iteration(self, batch_size: int = 8, num_steps: Optional[int] = None):
+        """One epoch: sample pool batch (2 forced fresh seeds), train the
+        batch TWICE, write back (conditioned_trainer.py:158-177)."""
+        idxs = self.py_rng.sample(range(len(self.pool)), batch_size)
+        targets = self.dataset.sample(self.rng, batch_size)
+
+        def reseed(n):
+            return np.asarray(conditioned_nca_seed(self.cfg, n))
+
+        batch_np = self.pool.get(idxs, reseed, is_dead_fn=self._is_dead)
+        batch = jnp.asarray(batch_np)
+        batch = batch.at[:2].set(conditioned_nca_seed(self.cfg, 2))
+        if self.num_damaged:
+            batch = self.damage(batch)
+
+        n1 = num_steps if num_steps is not None else self.sample_num_steps()
+        step1 = self._train_batch_fn(n1)
+        self.params, self.opt_state, outputs, loss, logs = step1(
+            self.params, self.opt_state, batch, targets, self._next_key()
+        )
+        n2 = num_steps if num_steps is not None else self.sample_num_steps()
+        step2 = self._train_batch_fn(n2)
+        self.params, self.opt_state, outputs, loss, logs = step2(
+            self.params, self.opt_state, outputs, targets, self._next_key()
+        )
+
+        loss_f = float(loss)
+        if not np.isfinite(loss_f):
+            raise FloatingPointError(f"loss NaN/Inf at epoch {self.iteration}")
+
+        self.pool.set(idxs, np.asarray(outputs))
+        metrics = {k: float(v) for k, v in logs.items()}
+        metrics["log10loss"] = math.log10(loss_f + 1e-5)
+        self.iteration += 1
+        self.history.append((self.iteration, loss_f, metrics))
+        return loss_f, metrics
+
+    def grow_preview(self, goal_images: jnp.ndarray, num_steps: int = 96):
+        """Grow fresh seeds toward goals; returns RGB in [0, 1] (clamped)."""
+        seeds = conditioned_nca_seed(self.cfg, goal_images.shape[0])
+        grown = conditioned_nca_grow(
+            self.params, seeds, goal_images, self._next_key(), self.cfg, num_steps
+        )
+        rgb = grown[..., : self.cfg.num_target_channels]
+        return jnp.clip(rgb, 0.0, 1.0)

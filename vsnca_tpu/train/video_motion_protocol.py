@@ -1,0 +1,180 @@
+"""Video-motion training protocol — the fit_video_motion.py driver semantics
+(ExtraChannels/fit_video_motion.py:216-355, SURVEY.md C18):
+
+1. WARMUP: train ``warmup_iters`` with the initial video-motion weight.
+2. CALIBRATE: set the video-motion weight from the median motion loss seen
+   during warmup (the linear fits + manual per-texture table,
+   loss.py:66-84).
+3. REINIT: re-initialize model, pool, and optimizer, then train to
+   completion with the calibrated weight.
+4. Anomaly recovery: pool slots whose appearance loss exceeds a threshold
+   are replaced with fresh seeds (fit_video_motion.py:316-327).
+5. Target windows: frame-window start indices follow the bounded random
+   walk (misc.py:4-30).
+6. Final eval: ``synthesize_and_score`` rolls a long video and averages
+   appearance/motion losses against all target frames, writing
+   final_loss_test.txt (fit_video_motion.py:374-421).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsnca_tpu.config import LossConfig, NCAConfig, TrainConfig
+from vsnca_tpu.data.preprocess import get_start_frame_idx
+from vsnca_tpu.losses.orchestrator import set_loss_weight
+from vsnca_tpu.train.trainer import DyNCATrainer
+
+
+@dataclasses.dataclass
+class VideoMotionProtocol:
+    nca_cfg: NCAConfig
+    loss_cfg: LossConfig
+    train_cfg: TrainConfig
+    target_video: jnp.ndarray  # [T, H, W, 3] in [-1, 1]
+    appearance_frame: jnp.ndarray  # [B, H, W, 3] (selected style frame)
+    warmup_iters: int = 1000
+    n_motion_frames: int = 3
+    tap_every: int = 64
+    anomaly_appearance_threshold: float = 50.0
+    img_name: Optional[str] = None
+
+    def __post_init__(self):
+        self._motion_losses: list = []
+        self._start_idx = 0
+        self._rng = np.random.RandomState(self.train_cfg.seed)
+
+    def _build_trainer(self, vgg, msoe) -> DyNCATrainer:
+        return DyNCATrainer(
+            self.nca_cfg, self.loss_cfg, self.train_cfg,
+            vgg_params=vgg, msoe_params=msoe,
+        )
+
+    def _window_inputs(self, batch: int) -> Dict[str, jnp.ndarray]:
+        t = int(self.target_video.shape[0])
+        self._start_idx = get_start_frame_idx(
+            self._rng, self._start_idx, t, self.n_motion_frames
+        )
+        frames = jnp.stack(
+            [
+                jnp.broadcast_to(
+                    self.target_video[self._start_idx + k],
+                    (batch,) + self.target_video.shape[1:],
+                )
+                for k in range(self.n_motion_frames)
+            ]
+        )
+        return {
+            "target_style": self.appearance_frame,
+            "target_motion_frames": frames,
+        }
+
+    def run(self, vgg_params, msoe_params, log_every: int = 50, callback=None):
+        """Full protocol; returns the final trainer."""
+        trainer = self._build_trainer(vgg_params, msoe_params)
+
+        # ---- warmup ----
+        for i in range(self.warmup_iters):
+            inputs = self._window_inputs(self.train_cfg.batch_size)
+            log = trainer.train_iteration(
+                inputs,
+                n_motion_frames=self.n_motion_frames,
+                tap_every=self.tap_every,
+            )
+            if "video_motion" in log.logs and self.loss_cfg.video_motion_weight:
+                self._motion_losses.append(
+                    log.logs["video_motion"] / self.loss_cfg.video_motion_weight
+                )
+            self._maybe_anomaly_reseed(trainer, log)
+            if callback and i % log_every == 0:
+                callback("warmup", i, log)
+
+        # ---- calibrate + reinit (fit_video_motion.py:280-306) ----
+        medium_mt = float(np.median(self._motion_losses)) if self._motion_losses else None
+        new_loss_cfg = set_loss_weight(
+            self.loss_cfg,
+            "video_motion",
+            medium_mt=medium_mt,
+            img_size=self.train_cfg.img_size[0],
+            nca_config_key=f"{self.nca_cfg.c_in}-{self.nca_cfg.fc_dim}",
+            img_name=self.img_name,
+        )
+        self.loss_cfg = new_loss_cfg
+        trainer = self._build_trainer(vgg_params, msoe_params)
+        trainer.loss_state = dataclasses.replace(
+            trainer.loss_state, cfg=new_loss_cfg
+        )
+        trainer.rebuild_loss(new_loss_cfg)
+
+        # ---- main phase ----
+        remaining = self.train_cfg.max_iterations - self.warmup_iters
+        for i in range(max(remaining, 0)):
+            inputs = self._window_inputs(self.train_cfg.batch_size)
+            log = trainer.train_iteration(
+                inputs,
+                n_motion_frames=self.n_motion_frames,
+                tap_every=self.tap_every,
+            )
+            self._maybe_anomaly_reseed(trainer, log)
+            if callback and i % log_every == 0:
+                callback("main", i, log)
+        return trainer
+
+    def _maybe_anomaly_reseed(self, trainer: DyNCATrainer, log):
+        app = log.logs.get("appearance")
+        if app is not None and app > self.anomaly_appearance_threshold:
+            # Reseed the batch slots that produced the divergence.
+            idx = trainer.pool.sample_indices(
+                trainer.rng, self.train_cfg.batch_size
+            )
+            trainer.reseed_pool_slots(idx)
+
+
+def synthesize_and_score(
+    trainer: DyNCATrainer,
+    target_video: jnp.ndarray,
+    out_dir: str,
+    n_frames: int = 40,
+    step_n: int = 32,
+    key: Optional[jax.Array] = None,
+) -> Dict[str, float]:
+    """Quantitative eval hook (fit_video_motion.py:374-421): roll a video
+    from a fresh seed, average the appearance loss of every generated frame
+    against every target frame; write final_loss_test.txt."""
+    from vsnca_tpu.losses.appearance import appearance_loss
+    from vsnca_tpu.models.dynca import dynca_rollout_with_taps, dynca_seed, make_conditioning
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    cfg = trainer.nca_cfg
+    hw = trainer.train_cfg.img_size
+    seed = dynca_seed(cfg, 1, hw, key=key)
+    if cfg.n_seed_channels < cfg.c_in:
+        seed = jnp.concatenate(
+            [seed, jnp.zeros(seed.shape[:3] + (cfg.c_in - cfg.n_seed_channels,))],
+            axis=-1,
+        )
+    cond = make_conditioning(cfg, hw, batch=1) if cfg.conditioning == "pos_emb" else None
+    _, frames = dynca_rollout_with_taps(
+        trainer.params, seed, key, cfg, n_frames, step_n, cond=cond, remat="none"
+    )
+
+    vgg = trainer.loss_state.vgg_params
+    scores = []
+    for i in range(n_frames):
+        gen = frames[i]
+        for t in range(target_video.shape[0]):
+            l = appearance_loss(
+                vgg, gen, target_video[t : t + 1], "Gram", key
+            )
+            scores.append(float(l))
+    result = {"appearance_loss_mean": float(np.mean(scores))}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "final_loss_test.txt"), "w") as f:
+        f.write(repr(result))
+    return result
