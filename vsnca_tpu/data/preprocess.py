@@ -108,6 +108,29 @@ def rgb_to_grayscale_mean(x: np.ndarray) -> np.ndarray:
     return np.mean(x, axis=-1, keepdims=True)
 
 
+def compute_flow_strengths(msoe_params, video) -> List[float]:
+    """Mean MSOE flow magnitude for each consecutive frame pair of a
+    [T, H, W, 3] in [-1, 1] video (the appearance-frame auto-selection
+    pipeline, preprocess_texture.py:116-149)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsnca_tpu.models.msoe import motion_pair_from_rgb, msoe_forward
+
+    video = jnp.asarray(video)
+    size = (video.shape[1], video.shape[2])
+
+    @jax.jit
+    def strength(f1, f2):
+        pair = motion_pair_from_rgb(f1[None], f2[None], size)
+        flow = msoe_forward(msoe_params, pair)
+        return jnp.mean(jnp.linalg.norm(flow, axis=-1))
+
+    return [
+        float(strength(video[t], video[t + 1])) for t in range(video.shape[0] - 1)
+    ]
+
+
 def select_appearance_frame(flow_strengths: Sequence[float]) -> int:
     """Appearance-frame auto-selection: the frame pair with maximum mean
     flow magnitude (preprocess_texture.py:116-149). Callers compute

@@ -104,6 +104,85 @@ def benchmark_rollout(
     }
 
 
+def benchmark_stages(
+    nca_cfg: Optional[NCAConfig] = None,
+    size: int = 256,
+    batch: int = 1,
+    iters: int = 20,
+) -> Dict[str, float]:
+    """Per-stage breakdown — the TPU analogue of ca.benchmark()'s
+    Perception / FC / Stochastic-Update timings (docs/dynca.js:1134-1190).
+
+    Each stage is compiled standalone and timed with chained inputs, so the
+    numbers include per-dispatch overhead exactly once per stage call.
+    """
+    from vsnca_tpu.ops.perception import perceive_multiscale
+
+    cfg = nca_cfg or NCAConfig(c_in=12, fc_dim=96)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, cfg.c_in)) - 0.5
+
+    percept = jax.jit(
+        lambda x: perceive_multiscale(x, cfg.perception_scales, cfg.padding_mode)
+    )
+    y0 = percept(x)
+
+    @jax.jit
+    def fc(y):
+        h = jax.nn.relu(jnp.einsum("bhwf,fd->bhwd", y, params["w1"]) + params["b1"])
+        return jnp.einsum("bhwd,dc->bhwc", h, params["w2"]) + params["b2"]
+
+    @jax.jit
+    def update(x):
+        mask = jnp.floor(
+            jax.random.uniform(jax.random.PRNGKey(2), x.shape[:3] + (1,)) + 0.5
+        )
+        return x + x * mask
+
+    def timed_fixed(fn, arg, n=iters):
+        out = fn(arg)
+        _fetch(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(arg)
+            _fetch(out)
+        return (time.perf_counter() - t0) / n
+
+    t_percept = timed_fixed(percept, x)
+    t_fc = timed_fixed(fc, y0)
+    t_update = timed_fixed(update, x)
+
+    return {
+        "size": size,
+        "perception_ms": 1000 * t_percept,
+        "fc_ms": 1000 * t_fc,
+        "stochastic_update_ms": 1000 * t_update,
+    }
+
+
+def profile_rollout(
+    log_dir: str,
+    nca_cfg: Optional[NCAConfig] = None,
+    size: int = 256,
+    n_steps: int = 96,
+):
+    """Capture a jax.profiler trace of the rollout (SURVEY.md §5.1).
+
+    Works on standard TPU/CPU runtimes; on the tunneled axon dev platform
+    the device-trace collection hangs — use ``benchmark_stages`` there.
+    """
+    cfg = nca_cfg or NCAConfig(c_in=12, fc_dim=96)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = dynca_seed(cfg, 1, size)
+    roll = partial(dynca_rollout, cfg=cfg, n_steps=n_steps, remat="none")
+    state, _ = roll(params, x, jax.random.PRNGKey(1))  # compile first
+    _fetch(state)
+    with jax.profiler.trace(log_dir):
+        state, _ = roll(params, x, jax.random.PRNGKey(1))
+        _fetch(state)
+    return log_dir
+
+
 def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
     update) for a preset config."""

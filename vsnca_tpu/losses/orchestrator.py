@@ -38,6 +38,7 @@ class LossState:
     vgg_params: Optional[list] = None
     msoe_params: Optional[dict] = None
     target_field: Optional[jnp.ndarray] = None
+    nca_cfg: Optional[object] = None  # NCAConfig, for style-consistency
 
 
 def make_loss_fn(state: LossState) -> Callable:
@@ -135,6 +136,23 @@ def make_loss_fn(state: LossState) -> Callable:
             l = content_loss(state.vgg_params, gen, tgt)
             logs["content"] = l * cfg.content_weight
             total = total + cfg.content_weight * l
+
+        if cfg.style_consistency_weight != 0:
+            from vsnca_tpu.losses.style_consistency import style_consistency_loss
+
+            key, sub = jax.random.split(key)
+            # min_steps is static under jit: 32 = the reference's step-range
+            # minimum (fit scripts' nca_step_range[0]).
+            l = style_consistency_loss(
+                input_dict["nca_params"],
+                state.nca_cfg,
+                input_dict["target_image_list"][0],
+                sub,
+                min_steps=32,
+                cond_img=input_dict.get("style_consistency_cond_img"),
+            )
+            logs["style_consistency"] = l * cfg.style_consistency_weight
+            total = total + cfg.style_consistency_weight * l
 
         return total, logs
 
