@@ -2,37 +2,105 @@
 """Benchmark entry point — prints ONE JSON line.
 
 Primary metric (BASELINE.json): NCA cell-updates/sec on the stylization
-rollout at 256px (single chip). ``vs_baseline`` compares against the
-north-star proxy of 30 fps at 512px with 24 steps/frame — i.e.
-30 * 512 * 512 * 24 ≈ 1.89e8 cell-updates/sec; >1.0 beats the target.
+rollout at 256px (single chip), using the best available path (fused Pallas
+VMEM-resident kernel when supported, else the XLA scan). ``vs_baseline``
+compares the 512px rollout against the north-star 30 fps @ 512px with 24
+NCA steps/frame (= 1.89e8 cell-updates/sec); > 1.0 beats the target.
 """
 
 import json
 import sys
+import time
 
 sys.path.insert(0, ".")
 
 
+def _fetch(x):
+    import numpy as np
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def bench_fused(size: int, n_steps: int = 96, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from vsnca_tpu.config import NCAConfig
+    from vsnca_tpu.models.dynca import dynca_init
+    from vsnca_tpu.ops.pallas_step import fused_rollout_chw, fused_rollout_supported
+
+    cfg = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
+    if not fused_rollout_supported(cfg, size, size):
+        return None
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, cfg.c_in, size, size)) - 0.5
+
+    s = fused_rollout_chw(params, x, jnp.int32(0), cfg, n_steps,
+                          compute_dtype="bfloat16")
+    _fetch(s)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s = fused_rollout_chw(params, s, jnp.int32(i), cfg, n_steps,
+                              compute_dtype="bfloat16")
+    _fetch(s)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_xla(size: int, n_steps: int = 96, iters: int = 10):
+    import jax
+
+    from vsnca_tpu.config import NCAConfig
+    from vsnca_tpu.models.dynca import dynca_init, dynca_rollout
+
+    cfg = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, size, size, cfg.c_in)) - 0.5
+    key = jax.random.PRNGKey(2)
+
+    def step(x):
+        s, _ = dynca_rollout(params, x, key, cfg, n_steps, remat="none")
+        return s
+
+    s = step(x)
+    _fetch(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(s)
+    _fetch(s)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
-    from vsnca_tpu.infer.benchmark import benchmark_rollout
+    n_steps = 96
+    results = {}
+    for size in (256, 512):
+        tf = bench_fused(size, n_steps)
+        tx = bench_xla(size, n_steps)
+        best = min(t for t in (tf, tx) if t is not None)
+        results[size] = {
+            "fused_ms_per_step": 1000 * tf / n_steps if tf else None,
+            "xla_ms_per_step": 1000 * tx / n_steps,
+            "cell_updates_per_sec": size * size * n_steps / best,
+            "fps_24steps": (n_steps / best) / 24.0,
+        }
 
-    r256 = benchmark_rollout(size=256, batch=1, n_steps=96)
-    r512 = benchmark_rollout(size=512, batch=1, n_steps=96)
-
-    target_cups = 30 * 512 * 512 * 24  # 30fps@512px, 24 NCA steps/frame
-    result = {
+    target_cups = 30 * 512 * 512 * 24  # north star: 30fps @512px, 24 steps/frame
+    out = {
         "metric": "nca_cell_updates_per_sec_256px",
-        "value": r256["cell_updates_per_sec"],
+        "value": results[256]["cell_updates_per_sec"],
         "unit": "cells*steps/s",
-        "vs_baseline": r512["cell_updates_per_sec"] / target_cups,
+        "vs_baseline": results[512]["cell_updates_per_sec"] / target_cups,
         "detail": {
-            "fps_512px_24steps": r512["frames_per_sec"],
-            "fps_256px_24steps": r256["frames_per_sec"],
-            "ms_per_step_256px": r256["ms_per_step"],
-            "ms_per_step_512px": r512["ms_per_step"],
+            "fps_256px_24steps": results[256]["fps_24steps"],
+            "fps_512px_24steps": results[512]["fps_24steps"],
+            "fused_ms_per_step_256": results[256]["fused_ms_per_step"],
+            "xla_ms_per_step_256": results[256]["xla_ms_per_step"],
+            "xla_ms_per_step_512": results[512]["xla_ms_per_step"],
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
