@@ -83,3 +83,21 @@ def test_tile_pick_divides():
     for h, w in [(128, 128), (256, 256), (96, 96), (64, 192)]:
         th = _pick_tile_h(h, w)
         assert h % th == 0
+
+
+def test_fused_rollout_bf16_state_dtype():
+    """state_dtype=bfloat16 path stays numerically sane (slow on hardware,
+    kept for completeness; see pallas_step docstring)."""
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 3, remat="none")
+    xc = jnp.transpose(x, (0, 3, 1, 2))
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_rollout_chw(
+            params, xc, jnp.int32(0), cfg, 3,
+            compute_dtype="bfloat16", state_dtype="bfloat16",
+        )
+    got = jnp.transpose(out.astype(jnp.float32), (0, 2, 3, 1))
+    # bf16 state: coarse tolerance, but trajectories must track
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0.1, atol=0.05)

@@ -47,10 +47,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def vmem_bytes_estimate(c: int, h: int, w: int, fc_dim: int, tile_h: int) -> int:
+def vmem_bytes_estimate(
+    c: int, h: int, w: int, fc_dim: int, tile_h: int, state_bytes: int = 4
+) -> int:
     """Rough VMEM footprint: state + padded scratch + per-tile temporaries."""
-    state = c * h * _round_up(w, _LANE) * 4
-    padded = c * (h + 2) * _round_up(w + 2, _LANE) * 4
+    state = c * h * _round_up(w, _LANE) * state_bytes
+    padded = c * (h + 2) * _round_up(w + 2, _LANE) * state_bytes
     n_tile = tile_h * w
     percept = 4 * c * _round_up(n_tile, _LANE) * 4 * 2  # percept + hidden headroom
     hidden = fc_dim * _round_up(n_tile, _LANE) * 4
@@ -94,6 +96,7 @@ def _make_kernel(
     has_cond: bool,
     update_rate: float,
     compute_dtype=jnp.float32,
+    state_dtype=jnp.float32,
 ):
     c = cfg.c_in
     cc = cfg.c_cond if has_cond else 0
@@ -174,7 +177,8 @@ def _make_kernel(
                     pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
                 )
                 mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
-                out_ref[0, :, r0 : r0 + tile_h, :] = center + dx * mask[None]
+                new_tile = center.astype(jnp.float32) + dx * mask[None]
+                out_ref[0, :, r0 : r0 + tile_h, :] = new_tile.astype(state_dtype)
             return carry
 
         jax.lax.fori_loop(0, n_steps, one_step, 0)
@@ -184,7 +188,10 @@ def _make_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "update_rate", "interpret", "compute_dtype"),
+    static_argnames=(
+        "cfg", "n_steps", "update_rate", "interpret", "compute_dtype",
+        "state_dtype",
+    ),
 )
 def fused_rollout_chw(
     params: dict,
@@ -196,18 +203,25 @@ def fused_rollout_chw(
     update_rate: Optional[float] = None,
     interpret: bool = False,
     compute_dtype: str = "float32",
+    state_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Run n_steps fused NCA steps on CHW state.
 
     x: [B, C, H, W] float32; cond: optional [B, c_cond, H, W]; seed: int32
-    scalar. Returns the new state [B, C, H, W]. Requires
+    scalar. Returns the new state [B, C, H, W] in ``state_dtype``. Requires
     perception_scales == (0,) and the whole grid to fit in VMEM
     (use ``fused_rollout_supported`` to check).
 
     ``compute_dtype='bfloat16'`` runs the MXU matmuls in bf16 with f32
-    accumulation (state stays f32): the deployment-grade fast path — the
-    reference's own WebGL runtime uses uint8-quantized weights
-    (convert_models_to_webgl.ipynb), so bf16 is strictly tighter.
+    accumulation (state stays f32) — the deployment fast path (the
+    reference's own WebGL runtime runs uint8-quantized weights, so bf16 is
+    strictly tighter; residual adds still accumulate in f32).
+
+    ``state_dtype='bfloat16'`` halves the resident buffers but is measured
+    ~200x SLOWER on v5e: the step's off-by-one padded-buffer writes become
+    misaligned bf16 (16,128)-tile relayouts. Kept for completeness/testing;
+    use the default f32 state. Grids past the VMEM budget (512^2+) should
+    use the XLA scan path, which still clears the 30 fps target by ~7x.
     """
     assert tuple(cfg.perception_scales) == (0,), (
         "fused kernel supports single-scale perception"
@@ -215,11 +229,15 @@ def fused_rollout_chw(
     b, c, h, w = x.shape
     assert c == cfg.c_in
     rate = cfg.update_rate if update_rate is None else update_rate
+    sdt = jnp.dtype(state_dtype)
     tile_h = _pick_tile_h(h, w)
     has_cond = cond is not None
     cdt = jnp.dtype(compute_dtype)
 
-    kernel = _make_kernel(cfg, h, w, n_steps, tile_h, has_cond, rate, cdt)
+    kernel = _make_kernel(
+        cfg, h, w, n_steps, tile_h, has_cond, rate, cdt, sdt
+    )
+    x = x.astype(sdt)
 
     # Weights pre-transposed for the [F, K] x [K, N] orientation.
     w1t = params["w1"].T.astype(cdt)  # [F, P]
@@ -246,17 +264,17 @@ def fused_rollout_chw(
     args = [jnp.asarray(seed, jnp.int32).reshape(1), x, w1t, b1, w2t, b2]
     if has_cond:
         in_specs.append(block(cond.shape[1:]))
-        args.append(cond.astype(jnp.float32))
+        args.append(cond.astype(sdt))
 
     flops_step = 2 * (4 * c + cfg.c_cond) * cfg.fc_dim * h * w + 2 * cfg.fc_dim * c * h * w
     out = pl.pallas_call(
         kernel,
         grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), sdt),
         in_specs=in_specs,
         out_specs=block((c, h, w)),
         scratch_shapes=[
-            pltpu.VMEM((1, c, h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((1, c, h + 2, w + 2), sdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -269,14 +287,20 @@ def fused_rollout_chw(
     return out
 
 
-def fused_rollout_supported(cfg: NCAConfig, h: int, w: int) -> bool:
+def fused_rollout_supported(
+    cfg: NCAConfig, h: int, w: int, state_dtype: str = "float32"
+) -> bool:
     """True when the whole-grid-in-VMEM kernel applies."""
     if tuple(cfg.perception_scales) != (0,):
         return False
     tile_h = _pick_tile_h(h, w)
     if h % tile_h != 0:
         return False
-    return vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h) < 13 * 2**20
+    sbytes = jnp.dtype(state_dtype).itemsize
+    return (
+        vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h, sbytes)
+        < 13 * 2**20
+    )
 
 
 def fused_rollout(
