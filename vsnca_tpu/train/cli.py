@@ -40,11 +40,32 @@ def setup_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="out/run")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--video-only", action="store_true",
+                   help="skip training: load --checkpoint and only generate "
+                        "videos (fit_video_motion.py --video_only parity)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir to resume/load")
+    p.add_argument("--make-videos", action="store_true",
+                   help="after training: control videos + stylize "
+                        "--eval-videos folder (experiments.py:305-312)")
+    p.add_argument("--eval-videos", default=None,
+                   help="folder of mp4/gif to stylize post-training")
     return p.parse_args()
 
 
 def main():
     args = setup_args()
+
+    # Persistent compilation cache: repeated runs (and step-length buckets)
+    # reuse compiled programs across processes.
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/vsnca_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from vsnca_tpu.data.preprocess import (
         preprocess_style_image,
@@ -115,6 +136,29 @@ def main():
         target_video = jnp.asarray(preprocess_video(args.target_video, hw))
     elif args.preset == "video_motion":
         target_video = jnp.asarray(synthetic_video(hw, 16))
+
+    # --- video-only mode: load checkpoint, generate videos, exit ---
+    if args.video_only:
+        from vsnca_tpu.export.checkpoint import load_checkpoint
+        from vsnca_tpu.utils.video_writer import (
+            evaluate_folder_of_videos,
+            generate_control_videos,
+        )
+
+        assert args.checkpoint, "--video-only requires --checkpoint"
+        params = load_checkpoint(args.checkpoint)["params"]
+        video_dir = os.path.join(args.out, "videos")
+        generate_control_videos(
+            video_dir, params, nca_cfg, np.asarray((style[0] + 1.0) / 2.0),
+            step_n=loss_cfg.nca_base_num_steps,
+        )
+        if args.eval_videos:
+            evaluate_folder_of_videos(
+                args.eval_videos, video_dir, params, nca_cfg, hw,
+                step_n=loss_cfg.nca_base_num_steps,
+            )
+        print(f"videos written to {video_dir}")
+        return
 
     # --- feature extractors ---
     vgg, vgg_pretrained = load_vgg16()
@@ -188,6 +232,25 @@ def main():
         metadata={"nca": dataclasses.asdict(nca_cfg)},
     )
     print(f"done: {trainer.iteration} iterations, final loss {trainer.history[-1].loss:.4f}")
+
+    if args.make_videos:
+        from vsnca_tpu.utils.video_writer import (
+            evaluate_folder_of_videos,
+            generate_control_videos,
+        )
+
+        video_dir = os.path.join(args.out, "videos")
+        generate_control_videos(
+            video_dir, trainer.params, nca_cfg,
+            np.asarray((style[0] + 1.0) / 2.0),
+            step_n=loss_cfg.nca_base_num_steps,
+        )
+        if args.eval_videos:
+            evaluate_folder_of_videos(
+                args.eval_videos, video_dir, trainer.params, nca_cfg, hw,
+                step_n=loss_cfg.nca_base_num_steps,
+            )
+        print(f"videos written to {video_dir}")
 
 
 if __name__ == "__main__":
