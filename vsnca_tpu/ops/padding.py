@@ -48,12 +48,30 @@ def _reflect_index(idx: np.ndarray, n: int) -> np.ndarray:
 def symmetric_pad_2d(x: jnp.ndarray, padding) -> jnp.ndarray:
     """Symmetric (half-sample, edge-duplicating) padding on NHWC spatial dims.
 
-    ``padding`` is (left, right, top, bottom). Because shapes are static under
-    jit, the gather indices are computed with numpy at trace time; the op
-    lowers to a pair of cheap takes.
+    ``padding`` is (left, right, top, bottom). For pads within one period
+    (pad <= size, always true for the MSOE kernels) this lowers to
+    flip+concat slices, which XLA compiles orders of magnitude faster than
+    the equivalent gather (the gather formulation cost ~7 min of TPU compile
+    for the MSOE forward alone); larger pads fall back to the triangular-
+    wave gather.
     """
     left, right, top, bottom = padding
     h, w = x.shape[1], x.shape[2]
+    if max(left, right) <= w and max(top, bottom) <= h:
+        parts = []
+        if top:
+            parts.append(jnp.flip(x[:, :top], axis=1))
+        parts.append(x)
+        if bottom:
+            parts.append(jnp.flip(x[:, h - bottom :], axis=1))
+        x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+        parts = []
+        if left:
+            parts.append(jnp.flip(x[:, :, :left], axis=2))
+        parts.append(x)
+        if right:
+            parts.append(jnp.flip(x[:, :, w - right :], axis=2))
+        return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x
     x_idx = _reflect_index(np.arange(-left, w + right), w)
     y_idx = _reflect_index(np.arange(-top, h + bottom), h)
     x = jnp.take(x, jnp.asarray(y_idx), axis=1)
