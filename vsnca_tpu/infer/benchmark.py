@@ -207,11 +207,14 @@ def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict
     inputs = {"target_style": style}
     step_n = train_cfg.step_buckets[len(train_cfg.step_buckets) // 2]
 
-    # warmup/compile
+    # warmup/compile both jit variants (seed-inject on iteration 0, plain after)
+    trainer.train_iteration(inputs, step_n=step_n)
     trainer.train_iteration(inputs, step_n=step_n)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        trainer.train_iteration(inputs, step_n=step_n)
+    for k in range(iters):
+        log = trainer.train_iteration(
+            inputs, step_n=step_n, sync=(k == iters - 1)
+        )
     dt = (time.perf_counter() - t0) / iters
     return {
         "preset": preset,

@@ -200,11 +200,13 @@ def main():
                 ]
             )
 
+        sync = (i % args.log_every == 0) or (i == train_cfg.max_iterations - 1)
         log = trainer.train_iteration(
-            inputs, n_motion_frames=n_motion_frames, tap_every=tap_every
+            inputs, n_motion_frames=n_motion_frames, tap_every=tap_every,
+            sync=sync,
         )
 
-        if i % args.log_every == 0:
+        if sync and i % args.log_every == 0:
             rate = (i + 1) / (time.time() - t0)
             terms = " ".join(f"{k}={v:.4f}" for k, v in log.logs.items())
             print(f"iter {i:5d} loss={log.loss:.4f} {terms} ({rate:.2f} it/s)")

@@ -35,7 +35,7 @@ from vsnca_tpu.models.dynca import (
     make_conditioning,
     to_rgb,
 )
-from vsnca_tpu.pool.sample_pool import DevicePool, inject_seed_into_batch
+from vsnca_tpu.pool.sample_pool import DevicePool
 from vsnca_tpu.train.optim import make_optimizer
 
 
@@ -145,10 +145,49 @@ def make_train_step(
     return train_step
 
 
+def make_pooled_train_step(train_step):
+    """Wrap a train step so pool gather / seed-injection / scatter execute
+    INSIDE one jitted program with buffer donation — a single device
+    dispatch per training iteration (host-side pool indexing costs several
+    tunnel round-trips per iteration otherwise).
+    """
+
+    @partial(
+        jax.jit,
+        static_argnames=("step_n", "n_motion_frames", "tap_every", "inject"),
+        donate_argnums=(0, 1, 2),
+    )
+    def pooled_step(
+        params,
+        opt_state,
+        pool_states,
+        idx,
+        seed_state,
+        key,
+        inputs,
+        *,
+        step_n: int,
+        n_motion_frames: int = 0,
+        tap_every: int = 0,
+        inject: bool = False,
+    ):
+        states = pool_states[idx]
+        if inject:
+            states = states.at[:1].set(seed_state[:1])
+        params, opt_state, new_states, loss, logs = train_step(
+            params, opt_state, states, key, inputs,
+            step_n=step_n, n_motion_frames=n_motion_frames, tap_every=tap_every,
+        )
+        pool_states = pool_states.at[idx].set(new_states)
+        return params, opt_state, pool_states, loss, logs
+
+    return pooled_step
+
+
 @dataclasses.dataclass
 class TrainLog:
     iteration: int
-    loss: float
+    loss: float  # may be a device scalar when sync=False
     logs: Dict[str, float]
     lr: Optional[float] = None
 
@@ -188,6 +227,10 @@ class DyNCATrainer:
         self._train_step = make_train_step(
             nca_cfg, self.loss_state, self.optimizer, train_cfg.remat
         )
+        self._pooled_step = make_pooled_train_step(self._train_step)
+        self._seed_template = dynca_seed(
+            nca_cfg, 1, train_cfg.img_size, key=self._next_key()
+        )
         self.iteration = 0
         self.history: list = []
 
@@ -201,6 +244,7 @@ class DyNCATrainer:
         self._train_step = make_train_step(
             self.nca_cfg, self.loss_state, self.optimizer, self.train_cfg.remat
         )
+        self._pooled_step = make_pooled_train_step(self._train_step)
 
     def sample_step_n(self) -> int:
         """Random rollout length snapped to the nearest jit bucket."""
@@ -215,44 +259,55 @@ class DyNCATrainer:
         step_n: Optional[int] = None,
         n_motion_frames: int = 0,
         tap_every: int = 0,
+        sync: bool = True,
     ) -> TrainLog:
+        """One training iteration as a single device dispatch.
+
+        ``sync=False`` skips the host round-trip for the loss value (the
+        NaN guard then fires on the next synced iteration) — use for all
+        but every log_every-th iteration when driving over a high-latency
+        link.
+        """
         tc = self.train_cfg
         i = self.iteration
 
-        batch_idx = self.pool.sample_indices(self.rng, tc.batch_size)
-        states = self.pool.gather(batch_idx)
-
-        if tc.inject_seed_every and i % tc.inject_seed_every == 0:
-            seed = dynca_seed(
-                self.nca_cfg, 1, tc.img_size, key=self._next_key()
-            )
-            states = inject_seed_into_batch(states, seed, 1)
+        batch_idx = jnp.asarray(self.pool.sample_indices(self.rng, tc.batch_size))
+        inject = bool(tc.inject_seed_every and i % tc.inject_seed_every == 0)
 
         step_n = step_n if step_n is not None else self.sample_step_n()
 
-        self.params, self.opt_state, new_states, loss, logs = self._train_step(
+        (
             self.params,
             self.opt_state,
-            states,
+            self.pool.states,
+            loss,
+            logs,
+        ) = self._pooled_step(
+            self.params,
+            self.opt_state,
+            self.pool.states,
+            batch_idx,
+            self._seed_template,
             self._next_key(),
             inputs,
             step_n=step_n,
             n_motion_frames=n_motion_frames,
             tap_every=tap_every,
+            inject=inject,
         )
 
-        loss_f = float(loss)
-        if not np.isfinite(loss_f):
-            raise FloatingPointError(
-                f"Loss is NaN/Inf at iteration {i}; training aborted "
-                "(reference behavior: train_failed.txt + exit)"
-            )
-
-        self.pool.scatter(batch_idx, new_states)
         self.iteration += 1
-        log = TrainLog(i, loss_f, {k: float(v) for k, v in logs.items()})
-        self.history.append(log)
-        return log
+        if sync:
+            loss_f = float(loss)
+            if not np.isfinite(loss_f):
+                raise FloatingPointError(
+                    f"Loss is NaN/Inf at iteration {i}; training aborted "
+                    "(reference behavior: train_failed.txt + exit)"
+                )
+            log = TrainLog(i, loss_f, {k: float(v) for k, v in logs.items()})
+            self.history.append(log)
+            return log
+        return TrainLog(i, loss, logs)
 
     def reseed_pool_slots(self, idx: np.ndarray):
         """Anomaly recovery: replace diverged slots with fresh seeds
