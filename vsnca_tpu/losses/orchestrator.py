@@ -52,7 +52,7 @@ def make_loss_fn(state: LossState) -> Callable:
 
     needs_vgg = (
         cfg.appearance_weight != 0
-        or cfg.auxiliary_weight != 0
+        or (cfg.auxiliary_weight != 0 and cfg.auxiliary_loss_type != "MSE")
         or cfg.content_weight != 0
     )
     needs_msoe = cfg.vector_field_motion_weight != 0 or cfg.video_motion_weight != 0

@@ -293,6 +293,10 @@ def fused_rollout_supported(
     """True when the whole-grid-in-VMEM kernel applies."""
     if tuple(cfg.perception_scales) != (0,):
         return False
+    if w % _LANE != 0:
+        # W maps to lanes; the [P, tile_h, W] -> [P, tile_h*W] flatten needs
+        # lane-aligned rows (Mosaic rejects the relayout otherwise).
+        return False
     tile_h = _pick_tile_h(h, w)
     if h % tile_h != 0:
         return False
