@@ -19,7 +19,7 @@ def static_texture(img_size=128) -> Preset:
     train = TrainConfig(img_size=(img_size, img_size), batch_size=4,
                         pool_size=256, step_range=(32, 128),
                         max_iterations=2000, lr_decay_steps=(1000, 2000),
-                        lr_decay_gamma=0.5)
+                        lr_decay_gamma=0.5, remat="none")
     return nca, loss, train
 
 
@@ -42,7 +42,8 @@ def vector_field_motion(img_size=128, field="circular") -> Preset:
     )
     train = TrainConfig(img_size=(img_size, img_size), batch_size=4,
                         pool_size=256, step_range=(32, 128),
-                        max_iterations=2000, lr_decay_steps=(1000, 2000))
+                        max_iterations=2000, lr_decay_steps=(1000, 2000),
+                        remat="none")
     return nca, loss, train
 
 
