@@ -24,6 +24,14 @@ Design (see pallas_guide.md):
 
 This is the inference/deployment path (no custom VJP yet); training uses the
 pure-JAX step whose gradients XLA derives.
+
+Scope decisions (measured on v5e):
+- multi-scale perception stays on the XLA path: fusing scales (0, 1) needs
+  a half-res padded buffer + a W-upsampled 4C percept resident in VMEM,
+  which blows the 16 MB budget at 256^2x16ch; the XLA multiscale stylizer
+  still runs ~80 fps at 256px/24 steps (2.7x the real-time target).
+- grids with W not a multiple of 128 or exceeding the VMEM fit use the XLA
+  path (auto-fallback in VideoStylizer).
 """
 
 from __future__ import annotations
