@@ -84,3 +84,27 @@ def test_checkpoint_roundtrip(tmp_path):
     loaded = load_checkpoint(p)
     np.testing.assert_allclose(loaded["params"]["w"], np.ones((2, 2)))
     assert loaded["iteration"] == 7
+
+
+def test_select_frame_by_vgg_median():
+    from vsnca_tpu.data.preprocess import select_frame_by_vgg_median
+    from vsnca_tpu.models.vgg import vgg16_random_init
+
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    # 3 near-identical frames + 1 outlier: the median frame must not be the outlier
+    base = synthetic_video((32, 32), 1)[0]
+    seq = np.stack([base, base * 0.98, base * 1.02, -base])
+    idx = select_frame_by_vgg_median(vgg, jnp.asarray(seq))
+    assert idx in (0, 1, 2)
+
+
+def test_distill_style_loss_runs():
+    from vsnca_tpu.losses.experimental import distill_style_loss
+    from vsnca_tpu.models.vgg import vgg16_random_init
+
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    t = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    l = distill_style_loss(vgg, g, t, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l))

@@ -131,6 +131,27 @@ def compute_flow_strengths(msoe_params, video) -> List[float]:
     ]
 
 
+def select_frame_by_vgg_median(vgg_params, image_seq) -> int:
+    """Pick the frame whose VGG features are closest to the sequence mean
+    (preprocess_texture.py:88-114 ``select_frame``; dead code at reference
+    runtime, reimplemented for inventory completeness).
+
+    image_seq: [T, H, W, 3] in [-1, 1]; uses the relu4_1 tap (the
+    reference's features[-2:-1] slice of the style taps).
+    """
+    import jax.numpy as jnp
+
+    from vsnca_tpu.models.vgg import vgg16_features
+
+    seq01 = (jnp.asarray(image_seq) + 1.0) / 2.0
+    feats = vgg16_features(vgg_params, seq01, layers=(18,))[0]  # relu4_1
+    avg = jnp.mean(feats, axis=0)
+    dists = jnp.asarray(
+        [jnp.mean(jnp.linalg.norm(feats[t] - avg)) for t in range(feats.shape[0])]
+    )
+    return int(jnp.argmin(dists))
+
+
 def select_appearance_frame(flow_strengths: Sequence[float]) -> int:
     """Appearance-frame auto-selection: the frame pair with maximum mean
     flow magnitude (preprocess_texture.py:116-149). Callers compute
