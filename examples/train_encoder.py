@@ -41,7 +41,7 @@ def main():
     if args.image_dir:
         dataset = ConditioningDataset.from_folder(args.image_dir, s)
     else:
-        dataset = ConditioningDataset(np.asarray(synthetic_video((s, s), 8)))
+        dataset = ConditioningDataset((np.asarray(synthetic_video((s, s), 8)) + 1.0) / 2.0)
     style = jnp.asarray(
         synthetic_style_image((s, s), 1)
         if args.style == "synthetic"

@@ -120,7 +120,7 @@ def _tiny_trainer(num_damaged=0):
     cfg = ConditionedNCAConfig(
         image_size=32, num_hidden_channels=4, update_hidden_dim=16
     )
-    imgs = np.random.RandomState(0).rand(5, 32, 32, 3).astype(np.float32) * 2 - 1
+    imgs = np.random.RandomState(0).rand(5, 32, 32, 3).astype(np.float32)
     dataset = ConditioningDataset(imgs)
     style = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32))
     vgg = vgg16_random_init(jax.random.PRNGKey(0))

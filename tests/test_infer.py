@@ -64,12 +64,14 @@ def test_appearance_frame_selection():
     assert select_appearance_frame([0.1, 0.5, 0.2]) == 1
 
 
-def test_start_frame_random_walk_bounds():
+def test_start_frame_window_sampler_bounds():
     rng = np.random.RandomState(0)
-    idx = 5
-    for _ in range(200):
-        idx = get_start_frame_idx(rng, idx, video_len=20, window=4)
-        assert 0 <= idx <= 16
+    seen = set()
+    for _ in range(300):
+        idx = get_start_frame_idx(rng, video_len=20, window=4)
+        assert 0 <= idx <= 16  # window fits in the video
+        seen.add(idx)
+    assert len(seen) > 8  # anchors are drawn uniformly, not a local walk
 
 
 def test_checkpoint_roundtrip(tmp_path):

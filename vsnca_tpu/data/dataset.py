@@ -17,7 +17,10 @@ IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 class ConditioningDataset:
     def __init__(self, images: np.ndarray):
-        """images: [N, H, W, 3] in [-1, 1]."""
+        """images: [N, H, W, 3] in [0, 1] — the EncoderConditioning stack
+        works in [0, 1] throughout (reference load_image uses ToTensor and
+        never rescales; the content loss's (x+1)/2 lines are commented
+        out)."""
         self.images = jnp.asarray(images)
 
     @classmethod
@@ -28,7 +31,7 @@ class ConditioningDataset:
             if f.lower().endswith(IMG_EXTS)
         )
         imgs = [
-            preprocess_style_image(p, (image_size, image_size), 1)[0] * 2.0 - 1.0
+            preprocess_style_image(p, (image_size, image_size), 1)[0]
             for p in paths
         ]
         return cls(np.stack(imgs).astype(np.float32))

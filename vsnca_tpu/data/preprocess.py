@@ -161,19 +161,33 @@ def select_appearance_frame(flow_strengths: Sequence[float]) -> int:
     return int(np.argmax(weights))
 
 
-def get_start_frame_idx(rng: np.random.RandomState, prev_idx: int, video_len: int,
-                        window: int, max_jump: int = 4) -> int:
-    """Random-walk window sampler for target-video frame windows
-    (ExtraChannels/utils/misc/misc.py:4-30): takes a bounded random step from
-    the previous start index, reflecting at the ends."""
-    step = rng.randint(-max_jump, max_jump + 1)
-    idx = prev_idx + step
-    hi = max(video_len - window, 0)
-    if idx < 0:
-        idx = -idx
-    if idx > hi:
-        idx = max(hi - (idx - hi), 0)
-    return int(np.clip(idx, 0, hi))
+def get_start_frame_idx(rng: np.random.RandomState, video_len: int,
+                        window: int) -> int:
+    """Window-start sampler for target-video frame windows, matching the
+    reference algorithm (ExtraChannels/utils/misc/misc.py:4-30): draw a
+    uniform anchor frame, then grow a ``window``-frame window around it by
+    random left/right expansions (uniform weights), clamped at the video
+    ends; return the window start index."""
+    idx_vid = int(rng.randint(0, max(video_len - 1, 1)))
+    start = idx_vid
+    left_add, right_add = 1, 1
+    remaining = window - 2
+    while remaining > 0:
+        left_expand = idx_vid - left_add
+        right_expand = idx_vid + right_add + 1
+        if left_expand < 0:
+            go_left = False
+        elif right_expand > video_len - 1:
+            go_left = True
+        else:
+            go_left = bool(rng.randint(0, 2))
+        if go_left:
+            left_add += 1
+            start -= 1
+        else:
+            right_add += 1
+        remaining -= 1
+    return int(max(start, 0))
 
 
 # ----------------------------------------------------------- synthetic

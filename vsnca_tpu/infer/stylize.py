@@ -59,7 +59,7 @@ class VideoStylizer:
 
         from vsnca_tpu.ops.pallas_step import fused_rollout_supported
 
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        on_tpu = jax.devices()[0].platform == "tpu"
         supported = on_tpu and fused_rollout_supported(nca_cfg, *self.size)
         if use_fused == "always":
             assert supported, "fused kernel unsupported for this config/size"
@@ -163,9 +163,11 @@ def stylize_frames(
         f = jnp.asarray(frame)[None]
         if size != (h, w):
             f = resize_bilinear(f, size)
+        # one OUTPUT frame per NCA pass: steps_per_frame=k emits k video
+        # frames per input frame (video_utils.py:69-82 adds inside the loop)
         for _ in range(steps_per_frame):
             out = styl.step_frame(f)
-        yield np.asarray(out[0])
+            yield np.asarray(out[0])
 
 
 def generate_control_frames(

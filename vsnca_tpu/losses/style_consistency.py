@@ -32,12 +32,12 @@ def style_consistency_loss(
     seed = dynca_seed(nca_cfg, b, (h, w), key=key)
     if nca_cfg.n_seed_channels < nca_cfg.c_in:
         extra = nca_cfg.c_in - nca_cfg.n_seed_channels
-        gray = (
-            jnp.mean(cond_img, axis=-1, keepdims=True)
-            if cond_img is not None
-            else jnp.zeros((b, h, w, extra), seed.dtype)
-        )
-        seed = jnp.concatenate([seed, gray], axis=-1)
+        if cond_img is not None:
+            gray = jnp.mean(cond_img, axis=-1, keepdims=True)
+            fill = jnp.tile(gray, (1, 1, 1, extra))
+        else:
+            fill = jnp.zeros((b, h, w, extra), seed.dtype)
+        seed = jnp.concatenate([seed, fill], axis=-1)
     cond = make_conditioning(nca_cfg, (h, w), cond_img=cond_img, batch=b)
     _, rgb = dynca_rollout(
         params, seed, key, nca_cfg, min_steps, cond=cond, remat="none"

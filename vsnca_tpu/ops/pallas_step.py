@@ -236,9 +236,17 @@ def fused_rollout_chw(
     )
     b, c, h, w = x.shape
     assert c == cfg.c_in
+    assert w % _LANE == 0, (
+        f"fused kernel needs W % {_LANE} == 0 (lane-aligned percept flatten); "
+        f"got W={w} — use the XLA rollout path"
+    )
     rate = cfg.update_rate if update_rate is None else update_rate
     sdt = jnp.dtype(state_dtype)
     tile_h = _pick_tile_h(h, w)
+    assert h % tile_h == 0, (
+        f"H={h} has no row-tile divisor; trailing rows would be skipped — "
+        f"use the XLA rollout path"
+    )
     has_cond = cond is not None
     cdt = jnp.dtype(compute_dtype)
 

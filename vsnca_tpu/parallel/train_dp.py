@@ -25,20 +25,26 @@ def make_dp_train_step(train_step, mesh: Mesh, axis: str = "data"):
     """
     batch_sharding = NamedSharding(mesh, P(axis))
 
+    time_major_sharding = NamedSharding(mesh, P(None, axis))
+
     def dp_step(params, opt_state, states, key, inputs: Dict, **static):
         params = replicate(params, mesh)
         opt_state = jax.tree_util.tree_map(
             lambda x: replicate(x, mesh) if hasattr(x, "ndim") else x, opt_state
         )
         states = jax.device_put(states, batch_sharding)
-        inputs = {
-            k: (
-                jax.device_put(v, batch_sharding)
-                if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == states.shape[0]
-                else replicate(v, mesh)
-            )
-            for k, v in inputs.items()
-        }
+
+        def place(k, v):
+            if not hasattr(v, "ndim"):
+                return v
+            if k == "target_motion_frames":
+                # [T, B, ...] — batch is axis 1, not 0
+                return jax.device_put(v, time_major_sharding)
+            if v.ndim >= 1 and v.shape[0] == states.shape[0]:
+                return jax.device_put(v, batch_sharding)
+            return replicate(v, mesh)
+
+        inputs = {k: place(k, v) for k, v in inputs.items()}
         return train_step(params, opt_state, states, key, inputs, **static)
 
     return dp_step

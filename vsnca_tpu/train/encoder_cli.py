@@ -65,7 +65,7 @@ def main():
     if args.image_dir:
         dataset = ConditioningDataset.from_folder(args.image_dir, s)
     else:
-        dataset = ConditioningDataset(np.asarray(synthetic_video((s, s), 8)))
+        dataset = ConditioningDataset((np.asarray(synthetic_video((s, s), 8)) + 1.0) / 2.0)
     if args.style_image == "synthetic":
         style = jnp.asarray(synthetic_style_image((s, s), 1))
     else:

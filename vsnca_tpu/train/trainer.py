@@ -116,13 +116,23 @@ def make_train_step(
                 )
 
             input_dict["nca_state"] = state_after
-            input_dict["generated_image_list"] = [rgb_after]
+            if n_motion_frames > 0:
+                # appearance supervises EVERY tapped frame against the style
+                # frame (fit_video_motion.py:243-256 builds target_image_list
+                # with one style-frame entry per generated frame)
+                input_dict["generated_image_list"] = (
+                    input_dict["generated_image_list_motion"]
+                )
+            else:
+                input_dict["generated_image_list"] = [rgb_after]
             input_dict["step_n"] = jnp.asarray(step_n, jnp.float32)
             if rgb_before is not None:
                 input_dict["generated_image_before_nca"] = rgb_before
                 input_dict["generated_image_after_nca"] = rgb_after
             if "target_style" in inputs:
-                input_dict["target_image_list"] = [inputs["target_style"]]
+                input_dict["target_image_list"] = [inputs["target_style"]] * len(
+                    input_dict["generated_image_list"]
+                )
             if "aux_imgs" in inputs:
                 input_dict["auxillary_image_list"] = [inputs["aux_imgs"]]
                 input_dict["content_image"] = inputs["aux_imgs"]
@@ -271,7 +281,9 @@ class DyNCATrainer:
         tc = self.train_cfg
         i = self.iteration
 
-        batch_idx = jnp.asarray(self.pool.sample_indices(self.rng, tc.batch_size))
+        batch_idx_np = self.pool.sample_indices(self.rng, tc.batch_size)
+        self.last_batch_idx = batch_idx_np  # for anomaly recovery
+        batch_idx = jnp.asarray(batch_idx_np)
         inject = bool(tc.inject_seed_every and i % tc.inject_seed_every == 0)
 
         step_n = step_n if step_n is not None else self.sample_step_n()

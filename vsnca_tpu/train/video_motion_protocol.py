@@ -58,9 +58,7 @@ class VideoMotionProtocol:
 
     def _window_inputs(self, batch: int) -> Dict[str, jnp.ndarray]:
         t = int(self.target_video.shape[0])
-        self._start_idx = get_start_frame_idx(
-            self._rng, self._start_idx, t, self.n_motion_frames
-        )
+        self._start_idx = get_start_frame_idx(self._rng, t, self.n_motion_frames)
         frames = jnp.stack(
             [
                 jnp.broadcast_to(
@@ -127,13 +125,13 @@ class VideoMotionProtocol:
         return trainer
 
     def _maybe_anomaly_reseed(self, trainer: DyNCATrainer, log):
+        """Replace the diverged batch's pool slots with fresh seeds
+        (fit_video_motion.py:316-327 writes seeds to the SAME batch_idx;
+        here the diverged states were already scattered back, so reseeding
+        those exact slots yields the same pool contents)."""
         app = log.logs.get("appearance")
         if app is not None and app > self.anomaly_appearance_threshold:
-            # Reseed the batch slots that produced the divergence.
-            idx = trainer.pool.sample_indices(
-                trainer.rng, self.train_cfg.batch_size
-            )
-            trainer.reseed_pool_slots(idx)
+            trainer.reseed_pool_slots(trainer.last_batch_idx)
 
 
 def synthesize_and_score(
@@ -159,7 +157,14 @@ def synthesize_and_score(
             [seed, jnp.zeros(seed.shape[:3] + (cfg.c_in - cfg.n_seed_channels,))],
             axis=-1,
         )
-    cond = make_conditioning(cfg, hw, batch=1) if cfg.conditioning == "pos_emb" else None
+    cond_img = (
+        jnp.zeros((1,) + tuple(hw) + (1,)) if cfg.conditioning == "edges" else None
+    )
+    cond = (
+        make_conditioning(cfg, hw, cond_img=cond_img, batch=1)
+        if cfg.conditioning is not None
+        else None
+    )
     _, frames = dynca_rollout_with_taps(
         trainer.params, seed, key, cfg, n_frames, step_n, cond=cond, remat="none"
     )
