@@ -174,6 +174,10 @@ def main():
 
     print(f"DyNCA param count: {param_count(trainer.params)}")
 
+    from vsnca_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(args.out, config={"preset": args.preset})
+
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
     for i in range(train_cfg.max_iterations):
@@ -210,8 +214,35 @@ def main():
             rate = (i + 1) / (time.time() - t0)
             terms = " ".join(f"{k}={v:.4f}" for k, v in log.logs.items())
             print(f"iter {i:5d} loss={log.loss:.4f} {terms} ({rate:.2f} it/s)")
+            logger.log_scalars(i, {"loss": log.loss, "it_per_sec": rate,
+                                   **log.logs})
 
         if train_cfg.save_every and i % train_cfg.save_every == 0:
+            # visual artifact dump (SURVEY.md §4: the reference's test strategy)
+            from vsnca_tpu.models.dynca import dynca_rollout, dynca_seed, make_conditioning
+            from vsnca_tpu.utils.display import save_train_artifacts
+
+            seed_img = dynca_seed(nca_cfg, 1, hw, key=jnp.asarray([0, 1], jnp.uint32))
+            if nca_cfg.n_seed_channels < nca_cfg.c_in:
+                seed_img = jnp.concatenate(
+                    [seed_img, inputs.get("aux_gs", jnp.zeros(seed_img.shape[:3] + (1,)))[:1]],
+                    axis=-1,
+                )
+            cond_p = make_conditioning(
+                nca_cfg, hw,
+                cond_img=inputs.get("aux_gs", jnp.zeros((1,) + hw + (1,)))[:1]
+                if nca_cfg.conditioning == "edges" else None,
+                batch=1,
+            )
+            _, preview = dynca_rollout(
+                trainer.params, seed_img, jnp.asarray([0, 2], jnp.uint32),
+                nca_cfg, 64, cond=cond_p, remat="none",
+            )
+            save_train_artifacts(
+                os.path.join(args.out, "artifacts"), i,
+                generated=np.asarray((jnp.clip(preview, -1, 1) + 1) / 2),
+                loss_log=[h.loss for h in trainer.history],
+            )
             save_checkpoint(
                 os.path.join(args.out, "checkpoint"),
                 {
