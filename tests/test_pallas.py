@@ -101,3 +101,18 @@ def test_fused_rollout_bf16_state_dtype():
     got = jnp.transpose(out.astype(jnp.float32), (0, 2, 3, 1))
     # bf16 state: coarse tolerance, but trajectories must track
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("pad_mode", ["circular", "replicate", "zeros"])
+def test_fused_rollout_multiscale_matches_scan(pad_mode):
+    """The multiscale (0,1) kernel variant is exact vs perceive_multiscale
+    (kept non-default: measured break-even with XLA on v5e)."""
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode=pad_mode,
+                    perception_scales=(0, 1), update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 3, remat="none")
+    got = _run_pallas(params, x, cfg, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    # and auto-selection keeps multiscale off the fused path
+    assert not fused_rollout_supported(cfg, 128, 128)

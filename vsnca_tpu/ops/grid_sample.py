@@ -57,6 +57,23 @@ def grid_sample_bilinear(imgs: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] bilinear resize matrix in align_corners=False
+    convention with EDGE CLAMPING — exactly `jax.image.resize(...,
+    method='linear', antialias=False)` / torch F.interpolate semantics along
+    one axis. For n_out = n_in/2 this is exact 2x2-pair averaging; used by
+    the fused multiscale kernel to express down/upsampling as MXU matmuls.
+    """
+    g = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(g).astype(np.int64)
+    frac = g - lo
+    mat = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        for tap, wgt in ((lo[i], 1.0 - frac[i]), (lo[i] + 1, frac[i])):
+            mat[i, min(max(tap, 0), n_in - 1)] += wgt
+    return mat
+
+
 def _interp_matrix(xs: np.ndarray, size: int) -> np.ndarray:
     """Row-stochastic [N, size] bilinear interpolation matrix for normalized
     coordinates ``xs`` in align_corners=False convention with zero padding

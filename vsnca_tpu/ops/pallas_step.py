@@ -26,10 +26,12 @@ This is the inference/deployment path (no custom VJP yet); training uses the
 pure-JAX step whose gradients XLA derives.
 
 Scope decisions (measured on v5e):
-- multi-scale perception stays on the XLA path: fusing scales (0, 1) needs
-  a half-res padded buffer + a W-upsampled 4C percept resident in VMEM,
-  which blows the 16 MB budget at 256^2x16ch; the XLA multiscale stylizer
-  still runs ~80 fps at 256px/24 steps (2.7x the real-time target).
+- a multiscale (scales (0,1)) kernel variant exists (_make_kernel_roll_ms:
+  resampling as clamped-bilinear MXU matmuls, per-tile half-percept bands)
+  and is exact vs the XLA rollout, but measures BREAK-EVEN with XLA on v5e
+  (107 fps @192x256xc16; Mosaic stack OOMs at 256^2xc16), so auto-selection
+  keeps multiscale models on the XLA path (~80 fps @256px/24 steps, 2.7x
+  real-time).
 - grids with W not a multiple of 128 or exceeding the VMEM fit use the XLA
   path (auto-fallback in VideoStylizer).
 """
@@ -233,6 +235,208 @@ def _make_kernel_roll(
     return kernel
 
 
+def _make_kernel_roll_ms(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    tile_h: int,
+    has_cond: bool,
+    update_rate: float,
+    compute_dtype=jnp.float32,
+):
+    """Multiscale (perception_scales == (0, 1)) variant of the roll kernel.
+
+    The scale-1 branch downsamples the state 2x, perceives at half
+    resolution (same padding mode), upsamples the 4C percept back, and
+    averages with the scale-0 percept — exactly ``perceive_multiscale``
+    (ConditioneDyNCA/models/dynca.py:75-115). All resampling is expressed
+    as MXU matmuls with the clamped bilinear matrices from
+    ``ops.grid_sample.resize_matrix`` (bitwise-equal to
+    jax.image.resize(antialias=False)): the half state is built once per
+    step (D_h @ state @ D_w^T per channel into a scratch buffer); per row
+    tile, only the needed half-percept band is computed and upsampled, so
+    no full-resolution half-percept is ever materialized.
+    """
+    from vsnca_tpu.ops.grid_sample import resize_matrix
+
+    c = cfg.c_in
+    cc = cfg.c_cond if has_cond else 0
+    p4 = 4 * c
+    p_dim = p4 + cc
+    f = cfg.fc_dim
+    thr = _uniform_threshold(update_rate)
+    n_tiles = h // tile_h
+    pad_mode = cfg.padding_mode
+    h2, w2 = h // 2, w // 2
+
+    u_h = resize_matrix(h, h2)  # [H, H/2]
+    # Static per-tile half-row support: nonzero columns of U_h rows.
+    tile_src = []
+    for t in range(n_tiles):
+        rows = u_h[t * tile_h : (t + 1) * tile_h]
+        cols = np.nonzero(rows.any(axis=0))[0]
+        tile_src.append((int(cols.min()), int(cols.max()) + 1))
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+               dh_ref, dwt_ref, uh_ref, uwt_ref, *rest):
+        if has_cond:
+            cond_ref, out_ref, alt_ref, half_ref, dma_sem = rest
+        else:
+            out_ref, alt_ref, half_ref, dma_sem = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + bidx)
+
+        load = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[0], dma_sem)
+        load.start()
+        load.wait()
+
+        col_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        col_half = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w2), 2)
+
+        def band_rows(src, lo, hi, rows_total, src_rank4=True):
+            """Rows lo-1 .. hi (+1 halo each side) with boundary handling."""
+            a, b2_ = lo - 1, hi + 1
+            sl = (lambda s, e: src[0, :, s:e, :]) if src_rank4 else (
+                lambda s, e: src[:, s:e, :]
+            )
+            if a >= 0 and b2_ <= rows_total:
+                return sl(a, b2_)
+            parts = []
+            if a < 0:
+                if pad_mode == "circular":
+                    parts.append(sl(rows_total - 1, rows_total))
+                elif pad_mode == "replicate":
+                    parts.append(sl(0, 1))
+                else:
+                    parts.append(jnp.zeros_like(sl(0, 1)))
+                a = 0
+            parts.append(sl(a, min(b2_, rows_total)))
+            if b2_ > rows_total:
+                if pad_mode == "circular":
+                    parts.append(sl(0, 1))
+                elif pad_mode == "replicate":
+                    parts.append(sl(rows_total - 1, rows_total))
+                else:
+                    parts.append(jnp.zeros_like(sl(0, 1)))
+            return jnp.concatenate(parts, axis=1)
+
+        def fix_cols(rolled, band, side, width, col_iota):
+            if pad_mode == "circular":
+                return rolled
+            if side == "left":
+                mask = col_iota == 0
+                fix = band[:, :, 0:1] if pad_mode == "replicate" else 0.0
+            else:
+                mask = col_iota == width - 1
+                fix = (
+                    band[:, :, width - 1 : width]
+                    if pad_mode == "replicate"
+                    else 0.0
+                )
+            return jnp.where(mask, fix, rolled)
+
+        def stencils(band, width, col_iota):
+            left = fix_cols(
+                pltpu.roll(band, 1, axis=2), band, "left", width, col_iota
+            )
+            right = fix_cols(
+                pltpu.roll(band, width - 1, axis=2), band, "right", width,
+                col_iota,
+            )
+            nrows = band.shape[1] - 2
+
+            def nb(di, dj):
+                arr = (left, band, right)[dj]
+                return arr[:, di : di + nrows, :]
+
+            center = band[:, 1 : 1 + nrows, :]
+            return (
+                center,
+                _stencil_from(nb, SOBEL_X),
+                _stencil_from(nb, SOBEL_Y),
+                _stencil_from(nb, LAPLACIAN),
+            )
+
+        def run_step(src, dst):
+            # ---- half-res state once per step: D_h @ state @ D_w^T ----
+            for ch in range(c):
+                tmp = jnp.dot(
+                    dh_ref[:], src[0, ch], preferred_element_type=jnp.float32
+                )
+                half_ref[ch] = jnp.dot(
+                    tmp, dwt_ref[:], preferred_element_type=jnp.float32
+                )
+
+            for t in range(n_tiles):
+                r0 = t * tile_h
+                s_lo, s_hi = tile_src[t]
+
+                # scale 0
+                band = band_rows(src, r0, r0 + tile_h, h)
+                cen, sx, sy, lap = stencils(band, w, col_full)
+                p_full = jnp.concatenate([cen, sx, sy, lap], axis=0)
+
+                # scale 1: half-res percept band, upsampled
+                hband = band_rows(half_ref, s_lo, s_hi, h2, src_rank4=False)
+                hc, hsx, hsy, hlap = stencils(hband, w2, col_half)
+                ph = jnp.concatenate([hc, hsx, hsy, hlap], axis=0)
+                # W-up: [P4, ns, W/2] x [W/2, W] -> [P4, ns, W]
+                ph_w = jax.lax.dot_general(
+                    ph, uwt_ref[:],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # H-up: contract the ns dim with U_h rows of this tile
+                u_slice = uh_ref[r0 : r0 + tile_h, s_lo:s_hi]  # [th, ns]
+                p_half = jnp.einsum(
+                    "ts,psw->ptw", u_slice, ph_w,
+                    preferred_element_type=jnp.float32,
+                )
+
+                parts = [(p_full + p_half) * 0.5]
+                if cond_ref is not None:
+                    parts.append(cond_ref[0, :, r0 : r0 + tile_h, :])
+                percept = jnp.concatenate(parts, axis=0)
+                percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
+
+                hid = jnp.maximum(
+                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1),
+                    0.0,
+                ).astype(compute_dtype)
+                dx = (
+                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+                    + b2_ref[:].reshape(c, 1)
+                ).reshape(c, tile_h, w)
+
+                bits = pltpu.prng_random_bits((tile_h, w))
+                u24 = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+                )
+                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dst[0, :, r0 : r0 + tile_h, :] = cen + dx * mask[None]
+
+        def one_step(i, carry):
+            @pl.when(i % 2 == 0)
+            def _():
+                run_step(out_ref, alt_ref)
+
+            @pl.when(i % 2 == 1)
+            def _():
+                run_step(alt_ref, out_ref)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            out_ref[:] = alt_ref[:]
+
+    return kernel
+
+
 def _make_kernel(
     cfg: NCAConfig,
     h: int,
@@ -370,8 +574,9 @@ def fused_rollout_chw(
     use the default f32 state. Grids past the VMEM budget (512^2+) should
     use the XLA scan path, which still clears the 30 fps target by ~7x.
     """
-    assert tuple(cfg.perception_scales) == (0,), (
-        "fused kernel supports single-scale perception"
+    scales = tuple(cfg.perception_scales)
+    assert scales in ((0,), (0, 1)), (
+        "fused kernel supports perception_scales (0,) or (0, 1)"
     )
     b, c, h, w = x.shape
     assert c == cfg.c_in
@@ -381,7 +586,9 @@ def fused_rollout_chw(
     )
     rate = cfg.update_rate if update_rate is None else update_rate
     sdt = jnp.dtype(state_dtype)
-    tile_h = _pick_tile_h(h, w)
+    # multiscale tiles are smaller: the per-tile half-percept/upsample
+    # temporaries share the VMEM budget
+    tile_h = _pick_tile_h(h, w, 2048 if tuple(cfg.perception_scales) == (0, 1) else 4096)
     assert h % tile_h == 0, (
         f"H={h} has no row-tile divisor; trailing rows would be skipped — "
         f"use the XLA rollout path"
@@ -391,8 +598,14 @@ def fused_rollout_chw(
 
     # 'roll' = double-buffered Jacobi with per-tile lane rolls (default,
     # fastest); 'padded' = padded-snapshot variant (required for bf16 state).
-    use_roll = algo == "roll" and sdt == jnp.float32
-    if use_roll:
+    multiscale = scales == (0, 1)
+    use_roll = (algo == "roll" and sdt == jnp.float32) or multiscale
+    if multiscale:
+        assert sdt == jnp.float32 and h % 2 == 0 and w % 2 == 0
+        kernel = _make_kernel_roll_ms(
+            cfg, h, w, n_steps, tile_h, has_cond, rate, cdt
+        )
+    elif use_roll:
         kernel = _make_kernel_roll(
             cfg, h, w, n_steps, tile_h, has_cond, rate, cdt
         )
@@ -425,6 +638,16 @@ def fused_rollout_chw(
         rep(b2.shape),
     ]
     args = [jnp.asarray(seed, jnp.int32).reshape(1), x, w1t, b1, w2t, b2]
+    if multiscale:
+        from vsnca_tpu.ops.grid_sample import resize_matrix
+
+        d_h = jnp.asarray(resize_matrix(h // 2, h))  # [H/2, H]
+        d_wt = jnp.asarray(resize_matrix(w // 2, w).T)  # [W, W/2]
+        u_h = jnp.asarray(resize_matrix(h, h // 2))  # [H, H/2]
+        u_wt = jnp.asarray(resize_matrix(w, w // 2).T)  # [W/2, W]
+        for m in (d_h, d_wt, u_h, u_wt):
+            in_specs.append(rep(m.shape))
+            args.append(m)
     if has_cond:
         in_specs.append(block(cond.shape[1:]))
         args.append(cond.astype(sdt))
@@ -436,12 +659,15 @@ def fused_rollout_chw(
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), sdt),
         in_specs=in_specs,
         out_specs=block((c, h, w)),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (1, c, h, w) if use_roll else (1, c, h + 2, w + 2), sdt
-            ),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM(
+                    (1, c, h, w) if use_roll else (1, c, h + 2, w + 2), sdt
+                )
+            ]
+            + ([pltpu.VMEM((c, h // 2, w // 2), jnp.float32)] if multiscale else [])
+            + [pltpu.SemaphoreType.DMA(())]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=b * n_steps * flops_step,
             bytes_accessed=2 * b * c * h * w * 4,
@@ -456,20 +682,30 @@ def fused_rollout_supported(
     cfg: NCAConfig, h: int, w: int, state_dtype: str = "float32"
 ) -> bool:
     """True when the whole-grid-in-VMEM kernel applies."""
-    if tuple(cfg.perception_scales) != (0,):
+    scales = tuple(cfg.perception_scales)
+    if scales not in ((0,), (0, 1)):
         return False
     if w % _LANE != 0:
         # W maps to lanes; the [P, tile_h, W] -> [P, tile_h*W] flatten needs
         # lane-aligned rows (Mosaic rejects the relayout otherwise).
         return False
-    tile_h = _pick_tile_h(h, w)
+    if scales == (0, 1) and (h % 2 or w % 2 or state_dtype != "float32"):
+        return False
+    tile_h = _pick_tile_h(h, w, 2048 if scales == (0, 1) else 4096)
     if h % tile_h != 0:
         return False
     sbytes = jnp.dtype(state_dtype).itemsize
-    return (
-        vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h, sbytes)
-        < 13 * 2**20
-    )
+    est = vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h, sbytes)
+    if scales == (0, 1):
+        # The multiscale kernel exists and is exact (test_pallas.py), but on
+        # v5e it measures break-even with the XLA path (107 fps at
+        # 192x256xc16 vs a proportional ~107 fps XLA): the resampling
+        # matmuls + small tiles offset the VMEM-residency win, and Mosaic's
+        # stack allocator overflows 16 MB at 256^2xc16 (18.1 MB measured).
+        # Auto-selection therefore stays off; call fused_rollout_chw
+        # directly to use it.
+        return False
+    return est < 13 * 2**20
 
 
 def fused_rollout(
