@@ -116,3 +116,29 @@ def test_fused_rollout_multiscale_matches_scan(pad_mode):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
     # and auto-selection keeps multiscale off the fused path
     assert not fused_rollout_supported(cfg, 128, 128)
+
+
+def test_fused_rollout_multi_tile_paths():
+    """h=64, w=128 → multiple row tiles: exercises interior band slices and
+    cross-tile halos for both the single-scale and multiscale kernels (the
+    16x128 tests above run with a single tile)."""
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 8)) - 0.5
+    for scales in [(0,), (0, 1)]:
+        cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                        perception_scales=scales, update_rate=1.0)
+        params = dynca_init(jax.random.PRNGKey(0), cfg)
+        ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 3,
+                               remat="none")
+        got = _run_pallas(params, x, cfg, 3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg=str(scales),
+        )
+
+
+def test_fused_rollout_rejects_bad_algo():
+    cfg = NCAConfig(c_in=8, fc_dim=16)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 8, 16, 128))
+    with pytest.raises(AssertionError):
+        fused_rollout_chw(params, x, jnp.int32(0), cfg, 1, algo="rolls")

@@ -559,9 +559,11 @@ def fused_rollout_chw(
     """Run n_steps fused NCA steps on CHW state.
 
     x: [B, C, H, W] float32; cond: optional [B, c_cond, H, W]; seed: int32
-    scalar. Returns the new state [B, C, H, W] in ``state_dtype``. Requires
-    perception_scales == (0,) and the whole grid to fit in VMEM
-    (use ``fused_rollout_supported`` to check).
+    scalar. Returns the new state [B, C, H, W] in ``state_dtype``. Supports
+    perception_scales (0,) and (0, 1); the whole grid must fit in VMEM.
+    ``fused_rollout_supported`` gates AUTO-selection (it returns False for
+    multiscale — measured break-even with XLA on v5e); calling this
+    function directly with scales (0, 1) is allowed and exact.
 
     ``compute_dtype='bfloat16'`` runs the MXU matmuls in bf16 with f32
     accumulation (state stays f32) — the deployment fast path (the
@@ -595,6 +597,7 @@ def fused_rollout_chw(
     )
     has_cond = cond is not None
     cdt = jnp.dtype(compute_dtype)
+    assert algo in ("roll", "padded"), f"unknown kernel algo {algo!r}"
 
     # 'roll' = double-buffered Jacobi with per-tile lane rolls (default,
     # fastest); 'padded' = padded-snapshot variant (required for bf16 state).
@@ -602,6 +605,10 @@ def fused_rollout_chw(
     use_roll = (algo == "roll" and sdt == jnp.float32) or multiscale
     if multiscale:
         assert sdt == jnp.float32 and h % 2 == 0 and w % 2 == 0
+        assert tile_h * w <= 4096, (
+            f"multiscale tile {tile_h}x{w} exceeds the VMEM-safe budget "
+            "(Mosaic stack OOM) — use the XLA rollout path for this size"
+        )
         kernel = _make_kernel_roll_ms(
             cfg, h, w, n_steps, tile_h, has_cond, rate, cdt
         )
@@ -652,7 +659,15 @@ def fused_rollout_chw(
         in_specs.append(block(cond.shape[1:]))
         args.append(cond.astype(sdt))
 
-    flops_step = 2 * (4 * c + cfg.c_cond) * cfg.fc_dim * h * w + 2 * cfg.fc_dim * c * h * w
+    cc_actual = cfg.c_cond if has_cond else 0
+    flops_step = (
+        2 * (4 * c + cc_actual) * cfg.fc_dim * h * w
+        + 2 * cfg.fc_dim * c * h * w
+    )
+    if multiscale:
+        # D/U resampling matmuls: downsample state + upsample 4C percept
+        flops_step += 2 * c * (h // 2) * w * (h + w // 2)
+        flops_step += 2 * 4 * c * h * w * (w // 2 + h // 2) // 2
     out = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -689,13 +704,6 @@ def fused_rollout_supported(
         # W maps to lanes; the [P, tile_h, W] -> [P, tile_h*W] flatten needs
         # lane-aligned rows (Mosaic rejects the relayout otherwise).
         return False
-    if scales == (0, 1) and (h % 2 or w % 2 or state_dtype != "float32"):
-        return False
-    tile_h = _pick_tile_h(h, w, 2048 if scales == (0, 1) else 4096)
-    if h % tile_h != 0:
-        return False
-    sbytes = jnp.dtype(state_dtype).itemsize
-    est = vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h, sbytes)
     if scales == (0, 1):
         # The multiscale kernel exists and is exact (test_pallas.py), but on
         # v5e it measures break-even with the XLA path (107 fps at
@@ -705,6 +713,11 @@ def fused_rollout_supported(
         # Auto-selection therefore stays off; call fused_rollout_chw
         # directly to use it.
         return False
+    tile_h = _pick_tile_h(h, w)
+    if h % tile_h != 0:
+        return False
+    sbytes = jnp.dtype(state_dtype).itemsize
+    est = vmem_bytes_estimate(cfg.c_in, h, w, cfg.fc_dim, tile_h, sbytes)
     return est < 13 * 2**20
 
 
