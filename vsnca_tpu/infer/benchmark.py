@@ -183,6 +183,44 @@ def profile_rollout(
     return log_dir
 
 
+def benchmark_serving(
+    nca_cfg: Optional[NCAConfig] = None,
+    size: int = 256,
+    n_streams: int = 8,
+    step_n: int = 24,
+    n_frames: int = 12,
+) -> Dict[str, float]:
+    """Multi-stream serving throughput: one VideoStylizer-style jitted frame
+    program over a batch of independent streams (e.g. concurrent webcam
+    sessions). Reports aggregate and per-stream fps."""
+    from vsnca_tpu.infer.stylize import VideoStylizer
+
+    cfg = nca_cfg or NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
+                               conditioning="edges")
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    styl = VideoStylizer(params, cfg, size, step_n=step_n)
+    # batch the persistent state across streams
+    if styl._fused:
+        styl.state = jnp.repeat(styl.state, n_streams, axis=0)
+    else:
+        styl.state = jnp.repeat(styl.state, n_streams, axis=0)
+    frame = jnp.zeros((n_streams, size, size, 3))
+    out = styl.step_frame(frame)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        out = styl.step_frame(frame)
+    _fetch(out)
+    dt = (time.perf_counter() - t0) / n_frames
+    return {
+        "size": size,
+        "n_streams": n_streams,
+        "aggregate_fps": n_streams / dt,
+        "per_stream_fps": 1.0 / dt,
+        "ms_per_batched_frame": 1000 * dt,
+    }
+
+
 def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
     update) for a preset config."""

@@ -129,6 +129,19 @@ class VideoStylizer:
             state = state[..., : self.cfg.n_seed_channels]
         return state, (jnp.clip(rgb, -1.0, 1.0) + 1.0) / 2.0
 
+    def damage(self, x: int, y: int, radius: int):
+        """Zero a circular patch of the persistent state — the brush /
+        clearCircle tool of the browser runtime (docs/dynca.js paint API).
+        The NCA regenerates the region over subsequent frames."""
+        import numpy as np
+
+        yy, xx = np.ogrid[: self.size[0], : self.size[1]]
+        keep = ((xx - x) ** 2 + (yy - y) ** 2 > radius**2).astype(np.float32)
+        if self._fused:  # CHW
+            self.state = self.state * jnp.asarray(keep)[None, None, :, :]
+        else:  # NHWC
+            self.state = self.state * jnp.asarray(keep)[None, :, :, None]
+
     def step_frame(self, frame: jnp.ndarray) -> jnp.ndarray:
         """Advance one content frame [1, H, W, 3] in [-1, 1] → stylized RGB
         [1, H, W, 3] in [0, 1]."""
