@@ -141,3 +141,28 @@ def test_trainer_reseed_pool_slots():
     trainer.pool.scatter(np.asarray([0, 1]), jnp.full((2, 24, 24, 6), 9.0))
     trainer.reseed_pool_slots(np.asarray([0, 1]))
     assert float(jnp.abs(trainer.pool.gather(np.asarray([0, 1]))).max()) <= 0.5
+
+
+def test_trainer_style_consistency_wired_and_zero_grad():
+    """style_consistency_weight != 0 must run (the trainer supplies
+    nca_params — reference style_consistency_loss.py:15-37) and, being
+    computed under stop_gradient like the reference's no_grad, must leave
+    the parameter update identical to the weight=0 run."""
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    style = jnp.asarray(
+        np.random.RandomState(0).rand(2, 24, 24, 3).astype(np.float32) * 2 - 1
+    )
+    runs = {}
+    for w in (0.0, 5.0):
+        nca, loss, train = small_setup(style_consistency_weight=w)
+        trainer = DyNCATrainer(nca, loss, train, vgg_params=vgg)
+        log = trainer.train_iteration({"target_style": style}, step_n=4)
+        assert np.isfinite(log.loss)
+        if w != 0:
+            assert "style_consistency" in log.logs
+            assert np.isfinite(log.logs["style_consistency"])
+        runs[w] = trainer.params
+    for a, b in zip(
+        jax.tree_util.tree_leaves(runs[0.0]), jax.tree_util.tree_leaves(runs[5.0])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

@@ -55,7 +55,40 @@ def test_protocol_warmup_calibrate_reinit(tmp_path):
     assert trainer.iteration == 2  # main phase ran max_iterations - warmup
 
     result = synthesize_and_score(
-        trainer, video[:2], str(tmp_path), n_frames=2, step_n=4
+        trainer, video[:3], str(tmp_path), n_frames=3, step_n=4
     )
     assert np.isfinite(result["appearance_loss_mean"])
+    # the eval hook scores the motion term too (fit_video_motion.py:394-403)
+    assert np.isfinite(result["video_motion_loss_mean"])
+    assert result["video_motion_loss_mean"] != result["appearance_loss_mean"]
     assert os.path.exists(os.path.join(str(tmp_path), "final_loss_test.txt"))
+
+
+def test_synthesize_and_score_honors_appearance_type(tmp_path):
+    """The eval hook must use the configured appearance metric, not a
+    hard-coded Gram (fit_video_motion.py calls loss_mapper['appearance'],
+    which carries args.appearance_loss_type)."""
+    nca = NCAConfig(c_in=6, fc_dim=16)
+    train = TrainConfig(
+        img_size=(32, 32), batch_size=2, pool_size=4,
+        step_range=(4, 5), step_buckets=(4,), max_iterations=1,
+    )
+    video = jnp.asarray(
+        np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    )
+    results = {}
+    for ltype in ("Gram", "SlW"):
+        loss = LossConfig(
+            appearance_weight=1.0, appearance_loss_type=ltype,
+        )
+        from vsnca_tpu.train.trainer import DyNCATrainer
+
+        trainer = DyNCATrainer(
+            nca, loss, train, vgg_params=vgg16_random_init(jax.random.PRNGKey(0))
+        )
+        results[ltype] = synthesize_and_score(
+            trainer, video, str(tmp_path / ltype), n_frames=2, step_n=4,
+            key=jax.random.PRNGKey(7),
+        )["appearance_loss_mean"]
+    # identical params/frames, different metric → different values
+    assert results["Gram"] != results["SlW"]

@@ -57,6 +57,10 @@ def make_train_step(
       aux_gs       [B,H,W,1]      grayscale content (edge cond / extra channel)
       target_motion_frames [T,B,H,W,3]  target video window for video-motion
     """
+    if loss_state.cfg.style_consistency_weight != 0 and loss_state.nca_cfg is None:
+        # style-consistency grows a fresh seed with the live params
+        # (style_consistency_loss.py:15-37) — it needs the model config.
+        loss_state = dataclasses.replace(loss_state, nca_cfg=nca_cfg)
     loss_fn = make_loss_fn(loss_state)
     cfg = loss_state.cfg
 
@@ -136,6 +140,13 @@ def make_train_step(
             if "aux_imgs" in inputs:
                 input_dict["auxillary_image_list"] = [inputs["aux_imgs"]]
                 input_dict["content_image"] = inputs["aux_imgs"]
+            if cfg.style_consistency_weight != 0:
+                # Live params for the fresh-seed grow; the term is
+                # stop_gradient'd inside, matching the reference's no_grad
+                # (SURVEY.md C13), so this adds no gradient path.
+                input_dict["nca_params"] = p
+                if "aux_gs" in inputs:
+                    input_dict["style_consistency_cond_img"] = inputs["aux_gs"]
 
             loss, logs = loss_fn(input_dict, k_loss)
             return loss, (state_after, logs)

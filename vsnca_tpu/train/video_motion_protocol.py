@@ -141,11 +141,21 @@ def synthesize_and_score(
     n_frames: int = 40,
     step_n: int = 32,
     key: Optional[jax.Array] = None,
+    texture_frames: Optional[jnp.ndarray] = None,
 ) -> Dict[str, float]:
     """Quantitative eval hook (fit_video_motion.py:374-421): roll a video
-    from a fresh seed, average the appearance loss of every generated frame
-    against every target frame; write final_loss_test.txt."""
+    from a fresh seed, then score each generated frame's appearance loss
+    (the configured metric) against every texture frame, and each
+    consecutive generated-frame pair's video-motion loss against every
+    consecutive target-frame pair; write final_loss_test.txt.
+
+    ``texture_frames`` defaults to ``target_video`` (the reference passes
+    ``train_image_seq_texture``, which for video-motion fits is the target
+    video itself). The reference normalizes totals by ``video_length*40``
+    regardless of how many pairs were scored; we report true means instead.
+    """
     from vsnca_tpu.losses.appearance import appearance_loss
+    from vsnca_tpu.losses.video_motion import video_motion_loss
     from vsnca_tpu.models.dynca import dynca_rollout_with_taps, dynca_seed, make_conditioning
 
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -169,16 +179,50 @@ def synthesize_and_score(
         trainer.params, seed, key, cfg, n_frames, step_n, cond=cond, remat="none"
     )
 
+    loss_cfg = trainer.loss_state.cfg
     vgg = trainer.loss_state.vgg_params
-    scores = []
+    msoe = trainer.loss_state.msoe_params
+    if texture_frames is None:
+        texture_frames = target_video
+
+    @jax.jit
+    def app_score(gen, tgt, k):
+        return appearance_loss(
+            vgg, gen, tgt, loss_cfg.appearance_loss_type, k,
+            loss_cfg.ot_subsample, loss_cfg.slw_projections,
+        )
+
+    @jax.jit
+    def motion_score(gen_pair, tgt_pair, k):
+        l, _ = video_motion_loss(
+            msoe, [gen_pair[0], gen_pair[1]], [tgt_pair[0], tgt_pair[1]],
+            loss_cfg.video_motion_loss_type, k, loss_cfg.motion_img_size,
+            loss_cfg.ot_subsample, loss_cfg.slw_projections,
+        )
+        return l
+
+    app_scores, motion_scores = [], []
     for i in range(n_frames):
         gen = frames[i]
-        for t in range(target_video.shape[0]):
-            l = appearance_loss(
-                vgg, gen, target_video[t : t + 1], "Gram", key
-            )
-            scores.append(float(l))
-    result = {"appearance_loss_mean": float(np.mean(scores))}
+        for t in range(texture_frames.shape[0]):
+            key, sub = jax.random.split(key)
+            app_scores.append(float(app_score(gen, texture_frames[t : t + 1], sub)))
+        if msoe is not None and loss_cfg.video_motion_weight != 0 and i > 0:
+            gen_pair = (frames[i - 1], frames[i])
+            for t in range(target_video.shape[0] - 1):
+                key, sub = jax.random.split(key)
+                motion_scores.append(
+                    float(
+                        motion_score(
+                            gen_pair,
+                            (target_video[t : t + 1], target_video[t + 1 : t + 2]),
+                            sub,
+                        )
+                    )
+                )
+    result = {"appearance_loss_mean": float(np.mean(app_scores))}
+    if motion_scores:
+        result["video_motion_loss_mean"] = float(np.mean(motion_scores))
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "final_loss_test.txt"), "w") as f:
         f.write(repr(result))
