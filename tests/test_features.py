@@ -218,3 +218,105 @@ def test_msoe_forward_shapes_and_flow_negation():
     raw = conv2d(d, params["decode2_w"], params["decode2_b"])
     np.testing.assert_allclose(np.asarray(flow[..., 1]), -np.asarray(raw[..., 1]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(flow[..., 0]), np.asarray(raw[..., 0]), rtol=1e-5)
+
+
+# ------------------------------------------- MSOE end-to-end torch mirror
+
+
+def torch_msoe_net(params, pair_nhwc):
+    """Reference MSOEnet (MSOEmultiscale.py:86-112) on numpy [B,H,W,2] →
+    torch [B,64,H,W]."""
+    padded = np_sym_pad(pair_nhwc, 5)
+    w = np.asarray(params["conv1_w"])  # [11,11,2,32]
+    conv3d_w = torch.from_numpy(w.transpose(3, 0, 1, 2)[:, None])
+    x3d = torch.from_numpy(padded[:, None])  # [B,1,H,W,2]
+    y = F.conv3d(x3d, conv3d_w, torch.from_numpy(np.asarray(params["conv1_b"])))
+    y = torch.square(y).squeeze(-1)
+    y = F.max_pool2d(y, 5, stride=1, padding=2)
+    w2 = torch.from_numpy(np.asarray(params["conv2_w"])[0, 0].T.copy())[:, :, None, None]
+    y = F.conv2d(y, w2, torch.from_numpy(np.asarray(params["conv2_b"])))
+    norm = y.abs().sum(dim=1, keepdim=True)
+    return y / torch.maximum(norm, torch.tensor(1e-12))
+
+
+def torch_pyramid_blur(pair_nhwc):
+    k = matlab_gaussian_kernel_2d((5, 5), 2.0)
+    kt = torch.from_numpy(k).reshape(1, 1, 5, 5)
+    padded = np_sym_pad(pair_nhwc, 2)
+    outs = [
+        F.conv2d(torch.from_numpy(padded[:, None, :, :, f]), kt, stride=2)
+        for f in range(2)
+    ]
+    return torch.stack([o[:, 0] for o in outs], dim=-1).numpy()
+
+
+def torch_tf_upsample(x_nchw, scale):
+    """Reference grid construction (MSOEmultiscale.py:26-44)."""
+    b, c, h, w = x_nchw.shape
+    N = int(h * scale)
+    delta = 1.0 / h
+    p = int(scale) - 1
+    xs = torch.linspace(-1.0 + delta, 1.0 - delta, N - p)
+    grid_i, grid_j = torch.meshgrid(xs, xs, indexing="ij")
+    gridx = F.pad(grid_i.unsqueeze(0), (0, p, 0, p), mode="replicate")[0]
+    gridy = F.pad(grid_j.unsqueeze(0), (0, p, 0, p), mode="replicate")[0]
+    grid = torch.stack([gridy, gridx], dim=-1).unsqueeze(0).repeat(b, 1, 1, 1)
+    return F.grid_sample(
+        x_nchw, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+    )
+
+
+def torch_msoe_forward(params, pair_nhwc):
+    """Full reference forward (MSOEmultiscale.py:139-175): contrast norm →
+    5-level pyramid → shared MSOEnet → upsample → concat → decode → negate
+    flow-y. Returns (flow [B,H,W,2], features [B,H,W,320]) as numpy."""
+    t = torch.from_numpy(pair_nhwc)
+    mean = t.mean(dim=(1, 2, 3), keepdim=True)
+    std = torch.sqrt(t.var(dim=(1, 2, 3), keepdim=True) + 1e-12)
+    x0 = ((t - mean) / std).numpy()
+    levels = [x0]
+    for _ in range(4):
+        levels.append(torch_pyramid_blur(levels[-1]))
+    hs = [torch_msoe_net(params, lv) for lv in levels]
+    zs = [hs[0]] + [torch_tf_upsample(hs[i], float(2**i)) for i in range(1, 5)]
+    z = torch.cat(zs, dim=1)  # [B,320,H,W]
+    zp = torch.from_numpy(
+        np_sym_pad(z.numpy().transpose(0, 2, 3, 1), 1).transpose(0, 3, 1, 2).copy()
+    )
+    d1w = torch.from_numpy(np.asarray(params["decode1_w"]).transpose(3, 2, 0, 1).copy())
+    d = F.conv2d(zp, d1w, torch.from_numpy(np.asarray(params["decode1_b"])))
+    d = F.relu(d)
+    d2w = torch.from_numpy(np.asarray(params["decode2_w"]).transpose(3, 2, 0, 1).copy())
+    flow = F.conv2d(d, d2w, torch.from_numpy(np.asarray(params["decode2_b"])))
+    flow = flow * torch.tensor([1.0, -1.0])[None, :, None, None]
+    return (
+        flow.numpy().transpose(0, 2, 3, 1),
+        z.numpy().transpose(0, 2, 3, 1),
+    )
+
+
+def test_msoe_forward_end_to_end_matches_torch():
+    """Composed golden: the whole pyramid→MSOEnet×5→upsample→decode chain,
+    not just the pieces (VERDICT r1 item 5)."""
+    params = msoe_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(8)
+    pair = rng.rand(2, 64, 64, 2).astype(np.float32)
+
+    flow, feats = msoe_forward(params, jnp.asarray(pair), return_features=True)
+    tflow, tfeat = torch_msoe_forward(params, pair)
+
+    np.testing.assert_allclose(np.asarray(feats[0]), tfeat, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flow), tflow, rtol=1e-3, atol=1e-5)
+
+
+def test_rgb_to_grayscale_matches_torchvision_coeffs():
+    from vsnca_tpu.models.msoe import rgb_to_grayscale
+
+    rng = np.random.RandomState(9)
+    img = rng.rand(1, 4, 4, 3).astype(np.float32)
+    ours = np.asarray(rgb_to_grayscale(jnp.asarray(img)))
+    # torchvision TF.rgb_to_grayscale: 0.2989 R + 0.587 G + 0.114 B
+    theirs = (
+        0.2989 * img[..., 0:1] + 0.587 * img[..., 1:2] + 0.114 * img[..., 2:3]
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7)

@@ -265,3 +265,91 @@ def test_set_loss_weight_protocols():
     c5 = set_loss_weight(cfg, "vector_field_motion",
                          appearance_loss_log=[100.0, 200.0, 300.0])
     assert abs(c5.vector_field_motion_weight - 4.0) < 1e-6
+
+
+# -------------------- video-motion value parity vs torch mirror (r2 item 5)
+
+
+def _torch_motion_features(msoe_params, img1, img2):
+    """Reference get_motion_feature_two_frames (video_motion_loss.py:63-81)
+    on RGB [-1,1] numpy NHWC frames already at motion_img_size: [0,1] →
+    torchvision grayscale coeffs → stacked pair → full torch MSOE mirror."""
+    from tests.test_features import torch_msoe_forward
+
+    def gray(img):
+        x = (img + 1.0) / 2.0
+        return 0.2989 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+
+    pair = np.concatenate([gray(img1), gray(img2)], axis=-1).astype(np.float32)
+    _, feat = torch_msoe_forward(msoe_params, pair)
+    return torch.from_numpy(feat.transpose(0, 3, 1, 2))  # [B,320,H,W]
+
+
+def _torch_motion_gram(f):
+    b, c, h, w = f.shape
+    x = f.reshape(b, c, h * w)
+    return x.bmm(x.transpose(1, 2)) / (c * h * w)
+
+
+def test_video_motion_gram_value_parity():
+    """MotionGramLoss (video_motion_loss.py:239-261) value parity on real
+    MSOE features, summed over consecutive pairs."""
+    msoe = msoe_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(11)
+    gen = [rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1 for _ in range(3)]
+    tgt = [rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1 for _ in range(3)]
+
+    ours, _ = video_motion_loss(
+        msoe, [jnp.asarray(g) for g in gen], [jnp.asarray(t) for t in tgt],
+        "MotionGram", jax.random.PRNGKey(1), (32, 32),
+    )
+
+    theirs = 0.0
+    for i in range(2):
+        fg = _torch_motion_features(msoe, gen[i], gen[i + 1])
+        ft = _torch_motion_features(msoe, tgt[i], tgt[i + 1])
+        theirs += float(
+            (_torch_motion_gram(ft) - _torch_motion_gram(fg)).square().mean()
+        )
+    np.testing.assert_allclose(float(ours), theirs, rtol=1e-3, atol=1e-7)
+
+
+def test_video_motion_ot_value_parity():
+    """MotionOptimalTransportLoss (video_motion_loss.py:161-237) value
+    parity at 32px (no subsample: the reference randomizes only when h>32),
+    batch-averaged, remd+moment per pair."""
+    msoe = msoe_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(12)
+    gen = [rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1 for _ in range(2)]
+    tgt = [rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1 for _ in range(2)]
+
+    ours, _ = video_motion_loss(
+        msoe, [jnp.asarray(g) for g in gen], [jnp.asarray(t) for t in tgt],
+        "MotionOT", jax.random.PRNGKey(1), (32, 32),
+    )
+
+    fg = _torch_motion_features(msoe, gen[0], gen[1])
+    ft = _torch_motion_features(msoe, tgt[0], tgt[1])
+
+    def remd(X, Y):  # X,Y: N×d
+        xn = torch.sqrt((X**2).sum(1).view(-1, 1))
+        yn = torch.sqrt((Y**2).sum(1).view(1, -1))
+        d = 1.0 - X.mm(Y.t()) / (xn + 1e-10) / (yn + 1e-10)
+        return torch.max(d.min(1)[0].mean(), d.min(0)[0].mean())
+
+    def moment(X, Y):  # N×d each
+        mu_x, mu_y = X.mean(0, keepdim=True), Y.mean(0, keepdim=True)
+        mu_d = (mu_x - mu_y).abs().mean()
+        Xc, Yc = X - mu_x, Y - mu_y
+        xcov = Xc.t().mm(Xc) / (X.shape[0] - 1)
+        ycov = Yc.t().mm(Yc) / (Y.shape[0] - 1)
+        return mu_d + (xcov - ycov).abs().mean()
+
+    theirs = 0.0
+    b = fg.shape[0]
+    for bi in range(b):
+        X = ft[bi].reshape(320, -1).t()  # target first (style_loss_cos(x, y))
+        Y = fg[bi].reshape(320, -1).t()
+        theirs += float(remd(X, Y) + moment(X, Y))
+    theirs /= b
+    np.testing.assert_allclose(float(ours), theirs, rtol=1e-3, atol=1e-6)

@@ -48,6 +48,11 @@ def video_motion_loss(
     """Sum over consecutive frame-pair indices of the selected motion metric
     (video_motion_loss.py:84-111). Target features are gradient-stopped.
 
+    Deliberate deviation: the reference's forward ``return``s inside its
+    pair loop (video_motion_loss.py:117-131), so it only ever scores the
+    FIRST pair; we score every consecutive pair. Per-pair math is
+    value-parity-tested against a torch mirror (tests/test_losses.py).
+
     generated_frames / target_frames: lists of RGB [-1, 1] batches, length
     >= 2. Returns (loss, (last_gen_flow, last_target_flow)).
     """

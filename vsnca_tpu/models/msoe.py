@@ -150,9 +150,10 @@ def msoe_forward(
 
 
 def rgb_to_grayscale(x: jnp.ndarray) -> jnp.ndarray:
-    """ITU-R 601 luma, matching torchvision ``rgb_to_grayscale`` used when
-    feeding MSOE (vector_field_loss.py:84-85)."""
-    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    """ITU-R 601 luma with torchvision's exact coefficients (0.2989, not
+    0.299), matching ``TF.rgb_to_grayscale`` used when feeding MSOE
+    (vector_field_loss.py:84-85)."""
+    w = jnp.asarray([0.2989, 0.587, 0.114], x.dtype)
     return jnp.sum(x * w, axis=-1, keepdims=True)
 
 
