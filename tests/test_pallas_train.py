@@ -1,0 +1,125 @@
+"""Custom-VJP fused rollout (ops/pallas_train.py) vs the XLA scan rollout.
+
+Runs under the TPU interpreter on CPU with update_rate=1.0 so the stochastic
+mask is deterministic and forward/backward must match jax.grad through the
+scan. (Interpret-mode pltpu.prng_random_bits returns zeros, so rate<1 masks
+are degenerate on CPU — the stochastic path is validated on real TPU by the
+finite-difference check in scripts/ and by training itself.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.models.dynca import dynca_init, dynca_rollout, make_conditioning
+from vsnca_tpu.ops.pallas_train import (
+    fused_rollout_train,
+    fused_train_supported,
+    pick_segment,
+)
+
+
+def _grads_match(gf, gs, rtol=1e-4):
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gs)):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=rtol, atol=rtol
+        )
+
+
+def test_fused_train_forward_matches_scan():
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 128, 8)) - 0.5
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 8,
+                               remat="none")
+        got, _ = fused_rollout_train(params, x, 3.0, cfg, 8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_train_grads_match_scan_multisegment_cond():
+    """24 steps → 3 segments of 8: exercises the reverse segment walk,
+    checkpoint reload, in-kernel recompute, adjoint stencil, and the
+    conditioning cotangent."""
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=1)
+    assert pick_segment(cfg, 16, 128, 24) == 8
+
+    def lf(p, x, c):
+        s, rgb = fused_rollout_train(p, x, 5.0, cfg, 24, cond_nhwc=c,
+                                     interpret=True)
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    def ls(p, x, c):
+        s, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 24, cond=c,
+                               remat="none")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(lf, argnums=(0, 1, 2))(params, x, cond)
+        gs = jax.grad(ls, argnums=(0, 1, 2))(params, x, cond)
+    _grads_match(gf, gs)
+
+
+def test_fused_train_grads_batch():
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 8, 128, 8)) - 0.5
+
+    def lf(p):
+        _, rgb = fused_rollout_train(p, x, 11.0, cfg, 8, interpret=True)
+        return jnp.mean(rgb ** 2)
+
+    def ls(p):
+        _, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8,
+                               remat="none")
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))
+
+
+def test_fused_train_supported_predicate():
+    cfg = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
+    assert fused_train_supported(cfg, 128, 128, 64)
+    assert not fused_train_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="replicate"), 128, 128, 64
+    )
+    assert not fused_train_supported(cfg, 128, 100, 64)  # W not lane-aligned
+    assert not fused_train_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
+                  perception_scales=(0, 1)), 128, 128, 64
+    )
+    # odd step count with no K in {16,8,4,2} dividing it
+    assert not fused_train_supported(cfg, 128, 128, 63)
+
+
+def test_fused_train_inside_value_and_grad_trainer_shape():
+    """The integration shape used by make_train_step: value_and_grad over an
+    objective that calls the fused rollout."""
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 128, 8)) - 0.5
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 128, 3))
+
+    def objective(p):
+        state, rgb = fused_rollout_train(p, x, 9.0, cfg, 8, interpret=True)
+        return jnp.mean((rgb - tgt) ** 2), state
+
+    with pltpu.force_tpu_interpret_mode():
+        (loss, state), grads = jax.value_and_grad(objective, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert all(
+        np.isfinite(np.asarray(g)).all()
+        for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert state.shape == x.shape

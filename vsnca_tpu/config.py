@@ -128,3 +128,7 @@ class TrainConfig:
     # nearest bucket so only a handful of XLA programs are compiled.
     step_buckets: Tuple[int, ...] = (32, 48, 64, 96, 128)
     remat: str = "per_step"  # per_step | none | segment
+    # Rollout implementation inside the train step: "auto" uses the fused
+    # Pallas custom-VJP kernel pair (ops/pallas_train.py) when the shape/
+    # config supports it, else the XLA scan; "xla"/"fused" force a path.
+    rollout_path: str = "auto"

@@ -638,7 +638,7 @@ def fused_rollout_chw(
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd in-kernel
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # x stays in HBM, DMA'd in-kernel
         rep(w1t.shape),
         rep(b1.shape),
         rep(w2t.shape),

@@ -1,0 +1,665 @@
+"""Differentiable fused NCA rollout: custom-VJP Pallas kernels for training.
+
+This is the north-star training path (BASELINE.json: "a single fused Pallas
+kernel rolled out under lax.scan with rematerialized backprop-through-time"):
+
+- FORWARD: the double-buffered Jacobi roll kernel (see
+  ``pallas_step._make_kernel_roll``) with two changes: the PRNG is re-seeded
+  per step from ``hash(seed, batch, step)`` so the backward pass can
+  regenerate every stochastic mask bit-exactly, and the state is DMA'd out
+  to an HBM checkpoint buffer every SEGMENT steps (K-step segment
+  checkpointing). State stays VMEM-resident for the whole rollout.
+
+- BACKWARD (remat-in-kernel): walks segments in REVERSE; per segment it
+  DMAs the checkpoint in, recomputes the K intermediate states and masks
+  into VMEM scratch (bit-exact: same tile order, same per-step seeds), then
+  runs backprop-through-time over the segment with two tile passes per
+  step: (1) recompute percept/hidden, form the MLP gradients and the
+  perception cotangent gp, accumulating dW/db (and the conditioning
+  cotangent); (2) apply the ADJOINT perception stencil — correlation with
+  the 180°-flipped filters under circular wrap (Sobel flips to its
+  negation; the Laplacian is symmetric) — to update dL/dx in place. No
+  percept/hidden tensor ever touches HBM, which is exactly the traffic the
+  XLA remat backward pays per step.
+
+Scope (auto-fallback to the XLA path otherwise, see
+``fused_train_supported``): padding_mode='circular' (all training presets),
+perception_scales=(0,), W % 128 == 0, grid + scratch within the VMEM budget.
+
+Reference hot loop being accelerated: ConditioneDyNCA/experiments.py:226
+(forward_nsteps under BPTT, models/dynca.py:117-133).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsnca_tpu.config import NCAConfig
+from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
+from vsnca_tpu.ops.pallas_step import (
+    _LANE,
+    _pick_tile_h,
+    _round_up,
+    _stencil_from,
+    _uniform_threshold,
+)
+
+
+def _flip(k):
+    """180° filter rotation: the adjoint of correlation is correlation with
+    the flipped kernel."""
+    return [[k[2 - i][2 - j] for j in range(3)] for i in range(3)]
+
+
+SOBEL_X_F = _flip(SOBEL_X)
+SOBEL_Y_F = _flip(SOBEL_Y)
+LAPLACIAN_F = _flip(LAPLACIAN)
+
+_HASH_B = 1000003
+_HASH_S = 7919
+
+
+def _step_seed(seed0, bidx, step):
+    return seed0 + bidx * jnp.int32(_HASH_B) + step * jnp.int32(_HASH_S)
+
+
+def _band_rows_circ(src_sl, lo: int, hi: int, rows: int):
+    """Rows lo-1 .. hi (+1 halo each side) of a [C, rows, W] slice fn under
+    circular wrap. lo/hi are static."""
+    a, b = lo - 1, hi + 1
+    if a >= 0 and b <= rows:
+        return src_sl(a, b)
+    parts = []
+    if a < 0:
+        parts.append(src_sl(rows - 1, rows))
+        a = 0
+    parts.append(src_sl(a, min(b, rows)))
+    if b > rows:
+        parts.append(src_sl(0, 1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _stencil_bands(band, w: int):
+    """(left, band, right) lane-rolled views for 3x3 stencils, circular."""
+    left = pltpu.roll(band, 1, axis=2)
+    right = pltpu.roll(band, w - 1, axis=2)
+    return left, band, right
+
+
+def _make_fwd_kernel(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_h: int,
+    has_cond: bool,
+    compute_dtype,
+):
+    c = cfg.c_in
+    cc = cfg.c_cond if has_cond else 0
+    p_dim = 4 * c + cc
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n_tiles = h // tile_h
+    assert cfg.padding_mode == "circular"
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            cond_ref, out_ref, ckpt_ref, alt_ref, dma_sem = rest
+        else:
+            out_ref, ckpt_ref, alt_ref, dma_sem = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+
+        load = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[0], dma_sem)
+        load.start()
+        load.wait()
+
+        def run_step(src, dst):
+            for t in range(n_tiles):
+                r0 = t * tile_h
+                band = _band_rows_circ(
+                    lambda a, b: src[0, :, a:b, :], r0, r0 + tile_h, h
+                )
+                left, _, right = _stencil_bands(band, w)
+
+                def nb(di, dj):
+                    arr = (left, band, right)[dj]
+                    return arr[:, di : di + tile_h, :]
+
+                center = band[:, 1 : 1 + tile_h, :]
+                parts = [
+                    center,
+                    _stencil_from(nb, SOBEL_X),
+                    _stencil_from(nb, SOBEL_Y),
+                    _stencil_from(nb, LAPLACIAN),
+                ]
+                if cond_ref is not None:
+                    parts.append(cond_ref[0, :, r0 : r0 + tile_h, :])
+                percept = jnp.concatenate(parts, axis=0)
+                percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
+
+                hid = jnp.maximum(
+                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1),
+                    0.0,
+                ).astype(compute_dtype)
+                dx = (
+                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+                    + b2_ref[:].reshape(c, 1)
+                ).reshape(c, tile_h, w)
+
+                bits = pltpu.prng_random_bits((tile_h, w))
+                u24 = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+                )
+                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dst[0, :, r0 : r0 + tile_h, :] = center + dx * mask[None]
+
+        def ckpt_store(src, i):
+            dma = pltpu.make_async_copy(
+                src.at[0], ckpt_ref.at[bidx, i // segment], dma_sem
+            )
+            dma.start()
+            dma.wait()
+
+        def one_step(i, carry):
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, i))
+
+            @pl.when(i % 2 == 0)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(out_ref, i)
+
+                run_step(out_ref, alt_ref)
+
+            @pl.when(i % 2 == 1)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(alt_ref, i)
+
+                run_step(alt_ref, out_ref)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            out_ref[:] = alt_ref[:]
+
+    return kernel
+
+
+def _make_bwd_kernel(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_h: int,
+    has_cond: bool,
+    compute_dtype,
+):
+    c = cfg.c_in
+    cc = cfg.c_cond if has_cond else 0
+    p_dim = 4 * c + cc
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n_tiles = h // tile_h
+    n_segments = n_steps // segment
+    assert cfg.padding_mode == "circular"
+
+    # contraction over the pixel axis (last dim of both operands)
+    dn_nn = (((1,), (1,)), ((), ()))
+
+    def kernel(
+        seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+        w1_ref, w2_ref, *rest,
+    ):
+        if has_cond:
+            (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             dcond_ref, states_ref, masks_ref, gx_ref, gp_ref, dma_sem) = rest
+        else:
+            (dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, masks_ref, gx_ref, gp_ref, dma_sem) = rest
+            cond_ref = dcond_ref = None
+
+        bidx = pl.program_id(0)
+
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)  # bias grads are [1, 1, F]/[1, 1, C]
+        if dcond_ref is not None:
+            dcond_ref[:] = jnp.zeros_like(dcond_ref)
+        gx_ref[:] = g_ref[0]
+
+        def tile_percept(src_k, r0):
+            """Recompute the percept tile [P, tile_h*W] from states[src_k]."""
+            band = _band_rows_circ(
+                lambda a, b: states_ref[src_k, :, a:b, :], r0, r0 + tile_h, h
+            )
+            left, _, right = _stencil_bands(band, w)
+
+            def nb(di, dj):
+                arr = (left, band, right)[dj]
+                return arr[:, di : di + tile_h, :]
+
+            center = band[:, 1 : 1 + tile_h, :]
+            parts = [
+                center,
+                _stencil_from(nb, SOBEL_X),
+                _stencil_from(nb, SOBEL_Y),
+                _stencil_from(nb, LAPLACIAN),
+            ]
+            if cond_ref is not None:
+                parts.append(cond_ref[0, :, r0 : r0 + tile_h, :])
+            percept = jnp.concatenate(parts, axis=0)
+            return center, percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
+
+        def recompute_segment(s):
+            """states[k] = x_{sK+k}, masks[k] = m_{sK+k}; bit-exact replay of
+            the forward (same per-step seeds, same tile order)."""
+            for k in range(segment):
+                pltpu.prng_seed(
+                    _step_seed(seed_ref[0], bidx, s * segment + jnp.int32(k))
+                )
+                for t in range(n_tiles):
+                    r0 = t * tile_h
+                    center, percept = tile_percept(k, r0)
+                    bits = pltpu.prng_random_bits((tile_h, w))
+                    u24 = jax.lax.shift_right_logical(
+                        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+                    )
+                    mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                    masks_ref[k, r0 : r0 + tile_h, :] = mask
+                    if k < segment - 1:
+                        hid = jnp.maximum(
+                            jnp.dot(
+                                w1t_ref[:], percept,
+                                preferred_element_type=jnp.float32,
+                            )
+                            + b1_ref[:].reshape(f, 1),
+                            0.0,
+                        ).astype(compute_dtype)
+                        dx = (
+                            jnp.dot(
+                                w2t_ref[:], hid,
+                                preferred_element_type=jnp.float32,
+                            )
+                            + b2_ref[:].reshape(c, 1)
+                        ).reshape(c, tile_h, w)
+                        states_ref[k + 1, :, r0 : r0 + tile_h, :] = (
+                            center + dx * mask[None]
+                        )
+
+        def backward_step(k):
+            # pass 1: MLP cotangents + param grads + gp
+            for t in range(n_tiles):
+                r0 = t * tile_h
+                _, percept = tile_percept(k, r0)
+                z1 = (
+                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1)
+                )
+                hid = jnp.maximum(z1, 0.0).astype(compute_dtype)
+                gdx = (
+                    gx_ref[:, r0 : r0 + tile_h, :]
+                    * masks_ref[k, r0 : r0 + tile_h, :][None]
+                ).reshape(c, tile_h * w).astype(compute_dtype)
+                gz1 = jnp.where(
+                    z1 > 0.0,
+                    jnp.dot(w2_ref[:], gdx, preferred_element_type=jnp.float32),
+                    0.0,
+                ).astype(compute_dtype)
+                gp = jax.lax.dot_general(
+                    w1_ref[:], gz1,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P, n]
+                gp_ref[:, r0 : r0 + tile_h, :] = gp[: 4 * c].reshape(
+                    4 * c, tile_h, w
+                )
+                if dcond_ref is not None:
+                    dcond_ref[0, :, r0 : r0 + tile_h, :] += gp[4 * c :].reshape(
+                        cc, tile_h, w
+                    )
+                dw1t_ref[0] += jax.lax.dot_general(
+                    gz1, percept, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
+                dw2t_ref[0] += jax.lax.dot_general(
+                    gdx, hid, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
+
+            # pass 2: adjoint perception stencil (flipped kernels, circular)
+            for t in range(n_tiles):
+                r0 = t * tile_h
+                band4 = _band_rows_circ(
+                    lambda a, b: gp_ref[:, a:b, :], r0, r0 + tile_h, h
+                )
+                left4, _, right4 = _stencil_bands(band4, w)
+
+                def nb_g(g):
+                    def nb(di, dj):
+                        arr = (left4, band4, right4)[dj]
+                        return arr[g * c : (g + 1) * c, di : di + tile_h, :]
+
+                    return nb
+
+                adj = (
+                    band4[0:c, 1 : 1 + tile_h, :]
+                    + _stencil_from(nb_g(1), SOBEL_X_F)
+                    + _stencil_from(nb_g(2), SOBEL_Y_F)
+                    + _stencil_from(nb_g(3), LAPLACIAN_F)
+                )
+                gx_ref[:, r0 : r0 + tile_h, :] += adj
+
+        def per_segment(si, carry):
+            s = n_segments - 1 - si
+            load = pltpu.make_async_copy(
+                ckpt_ref.at[bidx, s], states_ref.at[0], dma_sem
+            )
+            load.start()
+            load.wait()
+            recompute_segment(s)
+            for k in reversed(range(segment)):
+                backward_step(k)
+            return carry
+
+        jax.lax.fori_loop(0, n_segments, per_segment, 0)
+        dx0_ref[0] = gx_ref[:]
+
+    return kernel
+
+
+def bwd_vmem_bytes_estimate(
+    c: int, h: int, w: int, fc_dim: int, c_cond: int, segment: int, tile_h: int
+) -> int:
+    wl = _round_up(w, _LANE)
+    n = tile_h * w
+    buf = 4 * (
+        segment * c * h * wl        # states
+        + segment * h * wl          # masks
+        + c * h * wl                # gx
+        + 4 * c * h * wl            # gp
+        + c * h * wl                # dx0 / g blocks
+        + (c_cond * h * wl if c_cond else 0)
+    )
+    tiles = 4 * n * (
+        (4 * c + c_cond) * 2        # percept (+ band headroom)
+        + 3 * fc_dim                # z1, hid, gz1
+        + 2 * c                     # gdx, adj
+    )
+    return buf + tiles
+
+
+def pick_segment(cfg: NCAConfig, h: int, w: int, n_steps: int) -> Optional[int]:
+    """Largest K in {16, 8, 4, 2} dividing n_steps that fits the VMEM budget."""
+    tile_h = _pick_tile_h(h, w, 2048)
+    if h % tile_h != 0:
+        return None
+    for k in (16, 8, 4, 2):
+        if n_steps % k:
+            continue
+        est = bwd_vmem_bytes_estimate(
+            cfg.c_in, h, w, cfg.fc_dim, cfg.c_cond if cfg.conditioning else 0,
+            k, tile_h,
+        )
+        if est < 12 * 2**20:
+            return k
+    return None
+
+
+def fused_train_supported(cfg: NCAConfig, h: int, w: int, n_steps: int) -> bool:
+    """True when the custom-VJP fused rollout applies (see module doc)."""
+    if cfg.padding_mode != "circular":
+        return False
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    if w % _LANE != 0 or h % 8 != 0:
+        return False
+    return pick_segment(cfg, h, w, n_steps) is not None
+
+
+def _common_weight_args(params, compute_dtype):
+    cdt = jnp.dtype(compute_dtype)
+    return (
+        params["w1"].T.astype(cdt),       # w1t [F, P]
+        params["b1"].astype(jnp.float32),
+        params["w2"].T.astype(cdt),       # w2t [C, F]
+        params["b2"].astype(jnp.float32),
+    )
+
+
+def _fwd_call(params, x, cond, seed_i32, cfg, n_steps, segment, compute_dtype,
+              interpret):
+    b, c, h, w = x.shape
+    tile_h = _pick_tile_h(h, w, 2048)
+    has_cond = cond is not None
+    n_segments = n_steps // segment
+    kernel = _make_fwd_kernel(
+        cfg, h, w, n_steps, segment, tile_h, has_cond, jnp.dtype(compute_dtype)
+    )
+    w1t, b1, w2t, b2 = _common_weight_args(params, compute_dtype)
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [seed_i32.reshape(1), x, w1t, b1, w2t, b2]
+    if has_cond:
+        in_specs.append(block(cond.shape[1:]))
+        args.append(cond.astype(x.dtype))
+
+    cc = cfg.c_cond if has_cond else 0
+    flops_step = 2 * h * w * ((4 * c + cc) * cfg.fc_dim + cfg.fc_dim * c)
+    y, ckpt = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_segments, c, h, w), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            block((c, h, w)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, c, h, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=(2 + n_segments) * b * c * h * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, ckpt
+
+
+def _bwd_call(params, ckpt, cond, seed_i32, gy, cfg, n_steps, segment,
+              compute_dtype, interpret):
+    b, n_segments, c, h, w = ckpt.shape
+    tile_h = _pick_tile_h(h, w, 2048)
+    has_cond = cond is not None
+    cc = cfg.c_cond if has_cond else 0
+    f = cfg.fc_dim
+    p = 4 * c + cc
+    kernel = _make_bwd_kernel(
+        cfg, h, w, n_steps, segment, tile_h, has_cond, jnp.dtype(compute_dtype)
+    )
+    w1t, b1, w2t, b2 = _common_weight_args(params, compute_dtype)
+    cdt = jnp.dtype(compute_dtype)
+    w1 = params["w1"].astype(cdt)   # [P, F]
+    w2 = params["w2"].astype(cdt)   # [F, C]
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # checkpoints stay in HBM
+        block((c, h, w)),                        # gy
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+        rep(w1.shape), rep(w2.shape),
+    ]
+    args = [seed_i32.reshape(1), ckpt, gy, w1t, b1, w2t, b2, w1, w2]
+    if has_cond:
+        in_specs.append(block(cond.shape[1:]))
+        args.append(cond.astype(jnp.float32))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),   # dx0
+        jax.ShapeDtypeStruct((b, f, p), jnp.float32),      # dw1t
+        jax.ShapeDtypeStruct((b, 1, f), jnp.float32),      # db1 (1-row so the
+                                                           # block is legal: last
+                                                           # two dims == array's)
+        jax.ShapeDtypeStruct((b, c, f), jnp.float32),      # dw2t
+        jax.ShapeDtypeStruct((b, 1, c), jnp.float32),      # db2
+    ]
+    out_specs = [
+        block((c, h, w)), block((f, p)), block((1, f)), block((c, f)),
+        block((1, c)),
+    ]
+    if has_cond:
+        out_shape.append(jax.ShapeDtypeStruct((b, cc, h, w), jnp.float32))
+        out_specs.append(block((cc, h, w)))
+
+    flops_step = 2 * h * w * (3 * (p * f + f * c))  # fwd recompute + 2 bwd mms
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((segment, c, h, w), jnp.float32),   # states
+            pltpu.VMEM((segment, h, w), jnp.float32),      # masks
+            pltpu.VMEM((c, h, w), jnp.float32),            # gx
+            pltpu.VMEM((4 * c, h, w), jnp.float32),        # gp
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_steps * flops_step,
+            bytes_accessed=2 * n_segments * b * c * h * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if has_cond:
+        dx0, dw1t, db1, dw2t, db2, dcond = outs
+    else:
+        dx0, dw1t, db1, dw2t, db2 = outs
+        dcond = None
+    dparams = {
+        "w1": jnp.sum(dw1t, axis=0).T.astype(params["w1"].dtype),
+        "b1": jnp.sum(db1, axis=(0, 1)).astype(params["b1"].dtype),
+        "w2": jnp.sum(dw2t, axis=0).T.astype(params["w2"].dtype),
+        "b2": jnp.sum(db2, axis=(0, 1)).astype(params["b2"].dtype),
+    }
+    return dparams, dx0, dcond
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_rollout_train_chw(
+    params: dict,
+    x: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    seed_f: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    segment: int,
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused rollout on CHW state.
+
+    x: [B, C, H, W] f32; cond: optional [B, c_cond, H, W]; seed_f: FLOAT32
+    scalar PRNG seed (float so custom_vjp has a well-typed zero cotangent;
+    values should stay within int32 range). Returns the final state.
+    Gradients flow to params, x, and cond; masks are constants (the
+    reference's pass-through Bernoulli semantics, SURVEY.md §7)."""
+    y, _ = _fwd_call(
+        params, x, cond, seed_f.astype(jnp.int32), cfg, n_steps, segment,
+        compute_dtype, interpret,
+    )
+    return y
+
+
+def _train_fwd(params, x, cond, seed_f, cfg, n_steps, segment, compute_dtype,
+               interpret):
+    seed_i32 = seed_f.astype(jnp.int32)
+    y, ckpt = _fwd_call(
+        params, x, cond, seed_i32, cfg, n_steps, segment, compute_dtype,
+        interpret,
+    )
+    return y, (params, ckpt, cond, seed_i32)
+
+
+def _train_bwd(cfg, n_steps, segment, compute_dtype, interpret, res, gy):
+    params, ckpt, cond, seed_i32 = res
+    dparams, dx0, dcond = _bwd_call(
+        params, ckpt, cond, seed_i32, gy, cfg, n_steps, segment,
+        compute_dtype, interpret,
+    )
+    if cond is not None and dcond is None:
+        dcond = jnp.zeros_like(cond)
+    return dparams, dx0, dcond, jnp.zeros((), jnp.float32)
+
+
+fused_rollout_train_chw.defvjp(_train_fwd, _train_bwd)
+
+
+def fused_rollout_train(
+    params: dict,
+    x_nhwc: jnp.ndarray,
+    seed_f: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond_nhwc: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NHWC wrapper: returns (state, rgb) like ``dynca_rollout`` — but
+    differentiable through the fused kernel pair."""
+    b, h, w, _ = x_nhwc.shape
+    segment = pick_segment(cfg, h, w, n_steps)
+    assert segment is not None, "fused training path unsupported for this shape"
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    cond = (
+        jnp.transpose(cond_nhwc, (0, 3, 1, 2)) if cond_nhwc is not None else None
+    )
+    out = fused_rollout_train_chw(
+        params, x, cond, jnp.asarray(seed_f, jnp.float32), cfg, n_steps,
+        segment, compute_dtype, interpret,
+    )
+    state = jnp.transpose(out, (0, 2, 3, 1))
+    return state, state[..., : cfg.c_out] * 2.0

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vsnca_tpu.config import NCAConfig
 from vsnca_tpu.models.dynca import to_rgb

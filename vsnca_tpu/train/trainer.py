@@ -44,6 +44,7 @@ def make_train_step(
     loss_state: LossState,
     optimizer: optax.GradientTransformation,
     remat: str = "per_step",
+    rollout_path: str = "auto",
 ):
     """Build the jitted train step.
 
@@ -115,9 +116,30 @@ def make_train_step(
                         for i in range(n_motion_frames)
                     ]
             else:
-                state_after, rgb_after = dynca_rollout(
-                    p, states, k_roll, nca_cfg, step_n, cond=cond, remat=remat
+                from vsnca_tpu.ops.pallas_train import (
+                    fused_rollout_train,
+                    fused_train_supported,
                 )
+
+                use_fused = rollout_path == "fused" or (
+                    rollout_path == "auto"
+                    and jax.default_backend() == "tpu"
+                    and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
+                )
+                if use_fused:
+                    # segment-checkpointed custom-VJP kernel pair: BPTT
+                    # entirely in VMEM (ops/pallas_train.py)
+                    seed_f = jax.random.randint(
+                        k_roll, (), 0, 1 << 30
+                    ).astype(jnp.float32)
+                    state_after, rgb_after = fused_rollout_train(
+                        p, states, seed_f, nca_cfg, step_n, cond_nhwc=cond
+                    )
+                else:
+                    state_after, rgb_after = dynca_rollout(
+                        p, states, k_roll, nca_cfg, step_n, cond=cond,
+                        remat=remat,
+                    )
 
             input_dict["nca_state"] = state_after
             if n_motion_frames > 0:
@@ -246,7 +268,8 @@ class DyNCATrainer:
             )
         )
         self._train_step = make_train_step(
-            nca_cfg, self.loss_state, self.optimizer, train_cfg.remat
+            nca_cfg, self.loss_state, self.optimizer, train_cfg.remat,
+            getattr(train_cfg, "rollout_path", "auto"),
         )
         self._pooled_step = make_pooled_train_step(self._train_step)
         self._seed_template = dynca_seed(
@@ -263,7 +286,8 @@ class DyNCATrainer:
         """Swap loss weights (dynamic calibration) — re-jits the step."""
         self.loss_state = dataclasses.replace(self.loss_state, cfg=new_cfg)
         self._train_step = make_train_step(
-            self.nca_cfg, self.loss_state, self.optimizer, self.train_cfg.remat
+            self.nca_cfg, self.loss_state, self.optimizer,
+            self.train_cfg.remat, getattr(self.train_cfg, "rollout_path", "auto"),
         )
         self._pooled_step = make_pooled_train_step(self._train_step)
 
