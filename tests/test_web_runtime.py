@@ -23,11 +23,13 @@ from vsnca_tpu.models.dynca import dynca_init, dynca_step, make_conditioning
 WEB_JS = "web/vsnca.js"
 
 
-def detile_layer_py(layer):
-    """Direct port of web/vsnca.js detileLayer."""
+def detile_layer_py(layer, model_idx=0):
+    """Direct port of web/vsnca.js detileLayer (multi-model atlas)."""
     rows, cols = layer["shape"]
     quads = (cols + 3) // 4
     atlas_h, atlas_w = layer["data_shape"][0], layer["data_shape"][1]
+    lx = layer.get("layout", [1, 1])[0]
+    my, mx = model_idx // lx, model_idx % lx
     data = layer["data_flatten"]
     out = np.zeros((rows, cols), np.float32)
     s, c = layer["scale"], layer["center"]
@@ -37,7 +39,7 @@ def detile_layer_py(layer):
                 col = q * 4 + k
                 if col >= cols:
                     continue
-                v = data[(r * atlas_w + q) * 4 + k]
+                v = data[((my * rows + r) * atlas_w + mx * quads + q) * 4 + k]
                 out[r, col] = v * s - c * s
     return out
 
