@@ -72,6 +72,38 @@ def bench_xla(size: int, n_steps: int = 96, iters: int = 10):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_training():
+    """Train iters/sec for the static_texture and video_motion presets, plus
+    the torch-CPU ratio on the SAME workload as scripts/bench_torch_cpu.py
+    (128px, batch 4, 64-step BPTT, Gram) — the >=20x BASELINE target."""
+    from vsnca_tpu.infer.benchmark import benchmark_train_step
+
+    out = {}
+    st = benchmark_train_step("static_texture", iters=5, step_n=64)
+    out["train_iters_per_sec_static_texture"] = st["train_iters_per_sec"]
+    try:
+        vm = benchmark_train_step("video_motion", iters=3)
+        out["train_iters_per_sec_video_motion"] = vm["train_iters_per_sec"]
+    except Exception as e:  # pragma: no cover - bench resilience
+        out["train_iters_per_sec_video_motion"] = None
+        out["video_motion_error"] = repr(e)
+
+    try:
+        import contextlib
+
+        sys.path.insert(0, "scripts")
+        from bench_torch_cpu import measure
+
+        with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
+            torch_dt = measure(iters=2)
+        out["torch_cpu_sec_per_iter"] = torch_dt
+        out["vs_torch_cpu"] = torch_dt * st["train_iters_per_sec"]
+    except Exception as e:  # pragma: no cover
+        out["vs_torch_cpu"] = None
+        out["torch_cpu_error"] = repr(e)
+    return out
+
+
 def main():
     n_steps = 96
     results = {}
@@ -86,6 +118,8 @@ def main():
             "fps_24steps": (n_steps / best) / 24.0,
         }
 
+    train = bench_training()
+
     target_cups = 30 * 512 * 512 * 24  # north star: 30fps @512px, 24 steps/frame
     out = {
         "metric": "nca_cell_updates_per_sec_256px",
@@ -98,6 +132,7 @@ def main():
             "fused_ms_per_step_256": results[256]["fused_ms_per_step"],
             "xla_ms_per_step_256": results[256]["xla_ms_per_step"],
             "xla_ms_per_step_512": results[512]["xla_ms_per_step"],
+            **train,
         },
     }
     print(json.dumps(out))

@@ -83,8 +83,8 @@ def gram_loss(vgg, gen, tgt_feats):
     return loss
 
 
-def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+def measure(iters: int = 3) -> float:
+    """Return seconds per training iteration (importable from bench.py)."""
     model = DyNCA()
     vgg = make_vgg()
     for p in vgg.parameters():
@@ -129,6 +129,12 @@ def main():
         f"torch-cpu: {dt:.2f} s/iter ({1/dt:.3f} it/s) "
         f"[{SIZE}px batch {BATCH}, {STEPS}-step BPTT, Gram loss] loss={loss:.4f}"
     )
+    return dt
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    measure(iters)
 
 
 if __name__ == "__main__":

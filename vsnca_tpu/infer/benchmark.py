@@ -221,10 +221,19 @@ def benchmark_serving(
     }
 
 
-def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict[str, float]:
+def benchmark_train_step(
+    preset: str = "static_texture",
+    iters: int = 5,
+    step_n: Optional[int] = None,
+    img_size: Optional[int] = None,
+    rollout_path: Optional[str] = None,
+) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
-    update) for a preset config."""
-    import numpy as np
+    update) for a preset config. Presets with a video-motion term get a
+    synthetic target window and tapped rollout frames (n_motion_frames=3,
+    tap_every=step_n//2), matching the fit_video_motion workload shape.
+    ``rollout_path`` overrides TrainConfig.rollout_path (auto|xla|fused)."""
+    import dataclasses
 
     from vsnca_tpu.data.preprocess import synthetic_style_image
     from vsnca_tpu.models.vgg import load_vgg16
@@ -232,7 +241,10 @@ def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict
     from vsnca_tpu.train.presets import PRESETS
     from vsnca_tpu.train.trainer import DyNCATrainer
 
-    nca_cfg, loss_cfg, train_cfg = PRESETS[preset]()
+    preset_kw = {} if img_size is None else {"img_size": img_size}
+    nca_cfg, loss_cfg, train_cfg = PRESETS[preset](**preset_kw)
+    if rollout_path is not None:
+        train_cfg = dataclasses.replace(train_cfg, rollout_path=rollout_path)
     vgg, _ = load_vgg16()
     msoe = None
     if loss_cfg.vector_field_motion_weight or loss_cfg.video_motion_weight:
@@ -243,16 +255,25 @@ def benchmark_train_step(preset: str = "static_texture", iters: int = 5) -> Dict
         synthetic_style_image(train_cfg.img_size, train_cfg.batch_size) * 2 - 1
     )
     inputs = {"target_style": style}
-    step_n = train_cfg.step_buckets[len(train_cfg.step_buckets) // 2]
+    if step_n is None:
+        step_n = train_cfg.step_buckets[len(train_cfg.step_buckets) // 2]
+
+    kwargs = {"step_n": step_n}
+    if loss_cfg.video_motion_weight:
+        n_motion_frames = 3
+        kwargs.update(
+            n_motion_frames=n_motion_frames, tap_every=max(step_n // 2, 1)
+        )
+        inputs["target_motion_frames"] = jnp.stack(
+            [style + 0.01 * k for k in range(n_motion_frames)]
+        )
 
     # warmup/compile both jit variants (seed-inject on iteration 0, plain after)
-    trainer.train_iteration(inputs, step_n=step_n)
-    trainer.train_iteration(inputs, step_n=step_n)
+    trainer.train_iteration(inputs, **kwargs)
+    trainer.train_iteration(inputs, **kwargs)
     t0 = time.perf_counter()
     for k in range(iters):
-        log = trainer.train_iteration(
-            inputs, step_n=step_n, sync=(k == iters - 1)
-        )
+        trainer.train_iteration(inputs, sync=(k == iters - 1), **kwargs)
     dt = (time.perf_counter() - t0) / iters
     return {
         "preset": preset,
