@@ -72,6 +72,29 @@ def bench_xla(size: int, n_steps: int = 96, iters: int = 10):
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_fused_subprocess(timeout_s: int = 1200):
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "from vsnca_tpu.infer.benchmark import benchmark_train_step;"
+        "r = benchmark_train_step('static_texture', iters=5, step_n=64,"
+        " rollout_path='fused');"
+        "print('RESULT', r['train_iters_per_sec'])"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return float(line.split()[1])
+        return None
+    except Exception:  # pragma: no cover - timeout/compile failure
+        return None
+
+
 def bench_training():
     """Train iters/sec for the static_texture and video_motion presets, plus
     the torch-CPU ratio on the SAME workload as scripts/bench_torch_cpu.py
@@ -79,8 +102,15 @@ def bench_training():
     from vsnca_tpu.infer.benchmark import benchmark_train_step
 
     out = {}
-    st = benchmark_train_step("static_texture", iters=5, step_n=64)
+    st = benchmark_train_step("static_texture", iters=5, step_n=64,
+                              rollout_path="xla")
     out["train_iters_per_sec_static_texture"] = st["train_iters_per_sec"]
+
+    # The custom-VJP fused path compiles its fwd+bwd Mosaic kernels in ~7
+    # minutes through the axon remote compiler; run it in a subprocess with
+    # a hard timeout so a stuck compile can't take the whole bench down.
+    out["train_iters_per_sec_static_texture_fused"] = _bench_fused_subprocess()
+
     try:
         vm = benchmark_train_step("video_motion", iters=3)
         out["train_iters_per_sec_video_motion"] = vm["train_iters_per_sec"]

@@ -142,3 +142,77 @@ def test_fused_rollout_rejects_bad_algo():
     x = jnp.zeros((1, 8, 16, 128))
     with pytest.raises(AssertionError):
         fused_rollout_chw(params, x, jnp.int32(0), cfg, 1, algo="rolls")
+
+
+def test_fused_rollout_stream_matches_scan():
+    """HBM-streaming row-band kernel (for grids past the VMEM cap) vs the
+    scan rollout, tiny shape (the DMA interpreter is slow — hardware runs
+    validate the 512px target; see docs/ROUND2.md)."""
+    cfg = NCAConfig(c_in=4, fc_dim=8, padding_mode="circular", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 4)) - 0.5
+    from vsnca_tpu.ops.pallas_step import (
+        fused_rollout_stream_chw,
+        fused_stream_supported,
+    )
+
+    assert fused_stream_supported(cfg, 16, 128)
+    assert fused_stream_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="circular"), 512, 512
+    )
+    assert not fused_stream_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="replicate"), 512, 512
+    )
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 2,
+                               remat="none")
+        got = fused_rollout_stream_chw(
+            params, jnp.transpose(x, (0, 3, 1, 2)), jnp.int32(0), cfg, 2,
+            interpret=True,
+        )
+        got = jnp.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_rollout_mat_stencil_matches_scan():
+    """algo='mat': stencils folded into the first matmul
+    (stencil_folded_w1) — exact vs the scan rollout."""
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=1)
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 3,
+                               cond=cond, remat="none")
+        got = fused_rollout_chw(
+            params, jnp.transpose(x, (0, 3, 1, 2)), jnp.int32(0), cfg, 3,
+            cond=jnp.transpose(cond, (0, 3, 1, 2)), interpret=True,
+            algo="mat",
+        )
+        got = jnp.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_stencil_folded_w1_identity():
+    """Folded weights reproduce W1^T percept for random inputs (numpy)."""
+    from vsnca_tpu.ops.pallas_step import stencil_folded_w1
+    from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
+
+    rng = np.random.RandomState(0)
+    c, f, cc = 5, 7, 2
+    w1 = rng.randn(4 * c + cc, f).astype(np.float32)
+    taps = rng.randn(9, c).astype(np.float32)  # one pixel's 3x3 neighborhood
+    cond = rng.randn(cc).astype(np.float32)
+
+    sx = sum(float(SOBEL_X[i][j]) * taps[i * 3 + j] for i in range(3) for j in range(3))
+    sy = sum(float(SOBEL_Y[i][j]) * taps[i * 3 + j] for i in range(3) for j in range(3))
+    lp = sum(float(LAPLACIAN[i][j]) * taps[i * 3 + j] for i in range(3) for j in range(3))
+    percept = np.concatenate([taps[4], sx, sy, lp, cond])
+    ref = w1.T @ percept
+
+    w_eff = np.asarray(stencil_folded_w1(w1, c))
+    stacked = np.concatenate([taps.reshape(-1), cond])
+    np.testing.assert_allclose(w_eff.T @ stacked, ref, rtol=1e-5, atol=1e-5)

@@ -5,7 +5,6 @@ a single device array; sample random batches."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

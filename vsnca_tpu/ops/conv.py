@@ -8,7 +8,7 @@ torch checkpoints are a simple transpose.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

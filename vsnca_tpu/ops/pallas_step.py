@@ -22,8 +22,9 @@ Design (see pallas_guide.md):
   (dynca.py:131). Bit-parity with jax.random is neither possible nor
   required (SURVEY.md §7 "Randomness semantics").
 
-This is the inference/deployment path (no custom VJP yet); training uses the
-pure-JAX step whose gradients XLA derives.
+This is the inference/deployment path; training uses the custom-VJP kernel
+pair in ops/pallas_train.py (segment-checkpointed remat-in-kernel BPTT) when
+supported, else the pure-JAX step whose gradients XLA derives.
 
 Scope decisions (measured on v5e):
 - a multiscale (scales (0,1)) kernel variant exists (_make_kernel_roll_ms:
@@ -32,6 +33,18 @@ Scope decisions (measured on v5e):
   (107 fps @192x256xc16; Mosaic stack OOMs at 256^2xc16), so auto-selection
   keeps multiscale models on the XLA path (~80 fps @256px/24 steps, 2.7x
   real-time).
+- an HBM-streaming row-band kernel (fused_rollout_stream_chw: double-
+  buffered band DMA, 8-row-aligned halo blocks) extends the fused design
+  past the VMEM cap. It is bit-exact vs the scan on hardware but measures
+  DEAD EVEN with XLA at 512^2x12ch (0.1858 vs 0.1860 ms/step): at these
+  shapes neither path is HBM-bound (~16 TFLOP/s effective — the bound is
+  VPU/data-movement, not bandwidth), so auto-selection keeps >VMEM grids on
+  XLA and the kernel stays available as an explicit call.
+- algo='mat' folds the fixed stencils into the first matmul
+  (stencil_folded_w1) so the MXU does the filter arithmetic; measured 45%
+  SLOWER than 'roll' at 256^2 (0.119 vs 0.082 ms/step): stacking 9C tap
+  rows moves more data than the stencil math it saves. Kept as a tested
+  negative result.
 - grids with W not a multiple of 128 or exceeding the VMEM fit use the XLA
   path (auto-fallback in VideoStylizer).
 """
@@ -97,6 +110,57 @@ def _stencil_from(padded_slice_fn, k) -> jnp.ndarray:
     return acc
 
 
+
+def _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref, c, f, tile_h, w,
+            compute_dtype):
+    """Shared update-MLP tail: dx = w2(relu(w1 percept)) on a flat tile."""
+    hid = jnp.maximum(
+        jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+        + b1_ref[:].reshape(f, 1),
+        0.0,
+    ).astype(compute_dtype)
+    return (
+        jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+        + b2_ref[:].reshape(c, 1)
+    ).reshape(c, tile_h, w)
+
+
+def _draw_mask(tile_h, w, thr):
+    """Shared stochastic mask draw: 1 iff top-24 uniform bits >= thr."""
+    bits = pltpu.prng_random_bits((tile_h, w))
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    return (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+
+
+def stencil_folded_w1(w1, c: int) -> jnp.ndarray:
+    """Fold the fixed perception stencils into the first dense layer.
+
+    z1 = W1^T [x | Sx*x | Sy*x | L*x | cond] == W_eff^T [x(di,dj) taps | cond]
+    with W_eff[(di*3+dj)*C + ch] = 1{di==dj==1} W1[ch] + Sx[di,dj] W1[C+ch]
+    + Sy[di,dj] W1[2C+ch] + L[di,dj] W1[3C+ch] — the stencil arithmetic
+    moves onto the MXU (K grows 4C+cc -> 9C+cc but stays under the 128-wide
+    systolic tile, so the matmul latency is unchanged) and the VPU only
+    stacks shifted views."""
+    w1 = jnp.asarray(w1)
+    cc = w1.shape[0] - 4 * c
+    blocks = []
+    for di in range(3):
+        for dj in range(3):
+            acc = (
+                float(SOBEL_X[di][dj]) * w1[c : 2 * c]
+                + float(SOBEL_Y[di][dj]) * w1[2 * c : 3 * c]
+                + float(LAPLACIAN[di][dj]) * w1[3 * c : 4 * c]
+            )
+            if di == 1 and dj == 1:
+                acc = acc + w1[0:c]
+            blocks.append(acc)
+    if cc:
+        blocks.append(w1[4 * c :])
+    return jnp.concatenate(blocks, axis=0)
+
+
 def _make_kernel_roll(
     cfg: NCAConfig,
     h: int,
@@ -106,6 +170,7 @@ def _make_kernel_roll(
     has_cond: bool,
     update_rate: float,
     compute_dtype=jnp.float32,
+    mat_stencil: bool = False,
 ):
     """Double-buffered Jacobi kernel: no padded scratch, no whole-state
     copies. Per tile, a (tile_h + 2)-row band of the source buffer is lane-
@@ -116,7 +181,7 @@ def _make_kernel_roll(
     variant at 256² (no misaligned whole-state write per step)."""
     c = cfg.c_in
     cc = cfg.c_cond if has_cond else 0
-    p_dim = 4 * c + cc
+    p_dim = (9 * c if mat_stencil else 4 * c) + cc
     f = cfg.fc_dim
     thr = _uniform_threshold(update_rate)
     n_tiles = h // tile_h
@@ -188,31 +253,25 @@ def _make_kernel_roll(
                     return arr[:, di : di + tile_h, :]
 
                 center = band[:, 1 : 1 + tile_h, :]
-                sx = _stencil_from(nb, SOBEL_X)
-                sy = _stencil_from(nb, SOBEL_Y)
-                lap = _stencil_from(nb, LAPLACIAN)
-
-                parts = [center, sx, sy, lap]
+                if mat_stencil:
+                    # stencils folded into w1 (stencil_folded_w1): stack the
+                    # raw 3x3 taps; the MXU applies the filters.
+                    parts = [nb(di, dj) for di in range(3) for dj in range(3)]
+                else:
+                    parts = [
+                        center,
+                        _stencil_from(nb, SOBEL_X),
+                        _stencil_from(nb, SOBEL_Y),
+                        _stencil_from(nb, LAPLACIAN),
+                    ]
                 if cond_ref is not None:
                     parts.append(cond_ref[0, :, r0 : r0 + tile_h, :])
                 percept = jnp.concatenate(parts, axis=0)
                 percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
 
-                hid = jnp.maximum(
-                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
-                    + b1_ref[:].reshape(f, 1),
-                    0.0,
-                ).astype(compute_dtype)
-                dx = (
-                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
-                    + b2_ref[:].reshape(c, 1)
-                ).reshape(c, tile_h, w)
-
-                bits = pltpu.prng_random_bits((tile_h, w))
-                u24 = jax.lax.shift_right_logical(
-                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-                )
-                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                             c, f, tile_h, w, compute_dtype)
+                mask = _draw_mask(tile_h, w, thr)
                 dst[0, :, r0 : r0 + tile_h, :] = center + dx * mask[None]
 
         def one_step(i, carry):
@@ -402,21 +461,9 @@ def _make_kernel_roll_ms(
                 percept = jnp.concatenate(parts, axis=0)
                 percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
 
-                hid = jnp.maximum(
-                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
-                    + b1_ref[:].reshape(f, 1),
-                    0.0,
-                ).astype(compute_dtype)
-                dx = (
-                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
-                    + b2_ref[:].reshape(c, 1)
-                ).reshape(c, tile_h, w)
-
-                bits = pltpu.prng_random_bits((tile_h, w))
-                u24 = jax.lax.shift_right_logical(
-                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-                )
-                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                             c, f, tile_h, w, compute_dtype)
+                mask = _draw_mask(tile_h, w, thr)
                 dst[0, :, r0 : r0 + tile_h, :] = cen + dx * mask[None]
 
         def one_step(i, carry):
@@ -510,23 +557,9 @@ def _make_kernel(
                 percept = jnp.concatenate(parts, axis=0)  # [P, tile_h, W]
                 percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
 
-                hid = jnp.maximum(
-                    jnp.dot(
-                        w1t_ref[:], percept, preferred_element_type=jnp.float32
-                    )
-                    + b1_ref[:].reshape(f, 1),
-                    0.0,
-                ).astype(compute_dtype)
-                dx = (
-                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
-                    + b2_ref[:].reshape(c, 1)
-                ).reshape(c, tile_h, w)
-
-                bits = pltpu.prng_random_bits((tile_h, w))
-                u24 = jax.lax.shift_right_logical(
-                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-                )
-                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                             c, f, tile_h, w, compute_dtype)
+                mask = _draw_mask(tile_h, w, thr)
                 new_tile = center.astype(jnp.float32) + dx * mask[None]
                 out_ref[0, :, r0 : r0 + tile_h, :] = new_tile.astype(state_dtype)
             return carry
@@ -597,12 +630,15 @@ def fused_rollout_chw(
     )
     has_cond = cond is not None
     cdt = jnp.dtype(compute_dtype)
-    assert algo in ("roll", "padded"), f"unknown kernel algo {algo!r}"
+    assert algo in ("roll", "mat", "padded"), f"unknown kernel algo {algo!r}"
 
     # 'roll' = double-buffered Jacobi with per-tile lane rolls (default,
-    # fastest); 'padded' = padded-snapshot variant (required for bf16 state).
+    # fastest); 'mat' = roll with the stencils folded into the first matmul
+    # (stencil_folded_w1); 'padded' = padded-snapshot variant (required for
+    # bf16 state).
     multiscale = scales == (0, 1)
-    use_roll = (algo == "roll" and sdt == jnp.float32) or multiscale
+    use_roll = (algo in ("roll", "mat") and sdt == jnp.float32) or multiscale
+    mat_stencil = algo == "mat" and not multiscale
     if multiscale:
         assert sdt == jnp.float32 and h % 2 == 0 and w % 2 == 0
         assert tile_h * w <= 4096, (
@@ -614,7 +650,8 @@ def fused_rollout_chw(
         )
     elif use_roll:
         kernel = _make_kernel_roll(
-            cfg, h, w, n_steps, tile_h, has_cond, rate, cdt
+            cfg, h, w, n_steps, tile_h, has_cond, rate, cdt,
+            mat_stencil=mat_stencil,
         )
     else:
         kernel = _make_kernel(
@@ -623,7 +660,10 @@ def fused_rollout_chw(
     x = x.astype(sdt)
 
     # Weights pre-transposed for the [F, K] x [K, N] orientation.
-    w1t = params["w1"].T.astype(cdt)  # [F, P]
+    w1 = params["w1"]
+    if mat_stencil:
+        w1 = stencil_folded_w1(w1, c)
+    w1t = w1.T.astype(cdt)  # [F, P]
     b1 = params["b1"].astype(jnp.float32)
     w2t = params["w2"].T.astype(cdt)  # [C, F]
     b2 = params["b2"].astype(jnp.float32)
@@ -742,3 +782,282 @@ def fused_rollout(
     )
     state = jnp.transpose(out, (0, 2, 3, 1))
     return state, state[..., : cfg.c_out] * 2.0
+
+
+# ------------------------------------------------------------------------
+# HBM-streaming row-band kernel: grids past the whole-state-in-VMEM cap
+# (512^2+). Per step, row bands stream HBM->VMEM with double-buffered DMA
+# (band b+1 loads while band b computes), the fused step runs on sub-tiles
+# in VMEM, and results stream back to the alternate HBM buffer. HBM traffic
+# is exactly one state read + one state write per step — the XLA scan path
+# additionally materializes the 4C percept and FC hidden tensors to HBM
+# every step, which is the bandwidth this kernel removes.
+# ------------------------------------------------------------------------
+
+
+def _pick_band_h(h: int, w: int, c: int, budget_bytes: int = 8 * 2**20) -> int:
+    """Largest divisor of H (at most H/2: the kernel needs >= 2 bands so a
+    band's two halos never both wrap) whose double-buffered buffers fit."""
+    best = 8
+    row_bytes = c * _round_up(w, _LANE) * 4
+    for bh in range(8, h // 2 + 1, 8):
+        if h % bh == 0 and (4 * bh + 32) * row_bytes <= budget_bytes:
+            best = bh
+    return best
+
+
+def _make_kernel_stream(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    band_h: int,
+    tile_h: int,
+    has_cond: bool,
+    update_rate: float,
+    compute_dtype=jnp.float32,
+):
+    """One whole-rollout kernel; state ping-pongs between two HBM buffers.
+
+    Circular padding only: the W wrap is lane rolls; the H wrap rows ride
+    in the same banded DMAs (boundary bands issue one extra 1-row DMA)."""
+    c = cfg.c_in
+    cc = cfg.c_cond if has_cond else 0
+    p_dim = 4 * c + cc
+    f = cfg.fc_dim
+    thr = _uniform_threshold(update_rate)
+    n_bands = h // band_h
+    n_tiles = band_h // tile_h
+    assert cfg.padding_mode == "circular"
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            (cond_ref, out_ref, tmp_ref, band_in, band_out,
+             load_sem, store_sem, copy_sem) = rest
+        else:
+            (out_ref, tmp_ref, band_in, band_out,
+             load_sem, store_sem, copy_sem) = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + bidx)
+
+        init = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[bidx], copy_sem)
+        init.start()
+        init.wait()
+
+        def start_load(src, b, slot):
+            """DMA band b's rows + 8-row halo blocks into band_in[slot];
+            returns the started descriptors (waits must use the SAME
+            descriptors — DMA semaphores count bytes, so a mismatched dummy
+            deadlocks). All row offsets/counts are multiples of 8: 1-row HBM
+            memref slices crash the Mosaic compile helper.
+
+            band_in rows: [8-row top block | band | 8-row bottom block]; the
+            compute window is rows [7, band_h + 9)."""
+            r0 = b * band_h
+            dmas = []
+            if 0 < b < n_bands - 1:
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(r0 - 8, band_h + 16), :],
+                    band_in.at[slot], load_sem.at[slot],
+                ))
+            elif b == 0:  # top block wraps to rows [h-8, h)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(h - 8, 8), :],
+                    band_in.at[slot, :, 0:8, :], load_sem.at[slot],
+                ))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(0, band_h + 8), :],
+                    band_in.at[slot, :, 8 : band_h + 16, :], load_sem.at[slot],
+                ))
+            else:  # last band: bottom block wraps to rows [0, 8)
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(r0 - 8, band_h + 8), :],
+                    band_in.at[slot, :, 0 : band_h + 8, :], load_sem.at[slot],
+                ))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(0, 8), :],
+                    band_in.at[slot, :, band_h + 8 : band_h + 16, :],
+                    load_sem.at[slot],
+                ))
+            for d in dmas:
+                d.start()
+            return dmas
+
+        def compute_band(b, slot):
+            """band_in[slot] window rows [7, band_h+9) -> band_out[slot]."""
+            r0 = b * band_h
+            band_full = band_in[slot, :, 7 : band_h + 9, :]
+            left = pltpu.roll(band_full, 1, axis=2)
+            right = pltpu.roll(band_full, w - 1, axis=2)
+            for t in range(n_tiles):
+                t0 = t * tile_h  # row offset within the band (halo at 0)
+
+                def nb(di, dj):
+                    arr = (left, band_full, right)[dj]
+                    return arr[:, t0 + di : t0 + di + tile_h, :]
+
+                center = band_full[:, t0 + 1 : t0 + 1 + tile_h, :]
+                sx = _stencil_from(nb, SOBEL_X)
+                sy = _stencil_from(nb, SOBEL_Y)
+                lap = _stencil_from(nb, LAPLACIAN)
+                parts = [center, sx, sy, lap]
+                if cond_ref is not None:
+                    parts.append(
+                        cond_ref[0, :, r0 + t0 : r0 + t0 + tile_h, :]
+                    )
+                percept = jnp.concatenate(parts, axis=0)
+                percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
+                dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                             c, f, tile_h, w, compute_dtype)
+                mask = _draw_mask(tile_h, w, thr)
+                band_out[slot, :, t0 : t0 + tile_h, :] = center + dx * mask[None]
+
+        def store_band(dst, b, slot):
+            dma = pltpu.make_async_copy(
+                band_out.at[slot],
+                dst.at[:, pl.ds(b * band_h, band_h), :],
+                store_sem.at[slot],
+            )
+            dma.start()
+            return dma
+
+        def run_step(src, dst):
+            loads = [None, None]
+            stores = [None, None]
+            loads[0] = start_load(src, 0, 0)
+            for b in range(n_bands):
+                slot = b % 2
+                if b + 1 < n_bands:
+                    loads[1 - slot] = start_load(src, b + 1, 1 - slot)
+                for d in loads[slot]:
+                    d.wait()
+                if stores[slot] is not None:
+                    stores[slot].wait()  # band_out[slot] free to overwrite
+                compute_band(b, slot)
+                stores[slot] = store_band(dst, b, slot)
+            # all outstanding stores must land before the next step reads dst
+            for st in stores:
+                if st is not None:
+                    st.wait()
+
+        def one_step(i, carry):
+            @pl.when(i % 2 == 0)
+            def _():
+                run_step(out_ref.at[bidx], tmp_ref.at[0])
+
+            @pl.when(i % 2 == 1)
+            def _():
+                run_step(tmp_ref.at[0], out_ref.at[bidx])
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            fin = pltpu.make_async_copy(
+                tmp_ref.at[0], out_ref.at[bidx], copy_sem
+            )
+            fin.start()
+            fin.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "update_rate", "interpret",
+                     "compute_dtype"),
+)
+def fused_rollout_stream_chw(
+    params: dict,
+    x: jnp.ndarray,
+    seed: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """HBM-streaming fused rollout for grids past the VMEM-resident cap.
+
+    x: [B, C, H, W] f32, circular padding, perception_scales (0,). The
+    state ping-pongs between the output buffer and an HBM scratch; only row
+    bands (+1-row halos) ever live in VMEM."""
+    assert tuple(cfg.perception_scales) == (0,)
+    assert cfg.padding_mode == "circular", "streaming kernel is circular-only"
+    b, c, h, w = x.shape
+    assert c == cfg.c_in and w % _LANE == 0
+    rate = cfg.update_rate if update_rate is None else update_rate
+    cdt = jnp.dtype(compute_dtype)
+    band_h = _pick_band_h(h, w, c)
+    tile_h = _pick_tile_h(band_h, w, 2048)
+    assert h % band_h == 0 and band_h % tile_h == 0
+    assert h // band_h >= 2, "streaming kernel needs >= 2 bands"
+
+    w1t = params["w1"].T.astype(cdt)
+    b1 = params["b1"].astype(jnp.float32)
+    w2t = params["w2"].T.astype(cdt)
+    b2 = params["b2"].astype(jnp.float32)
+
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), x, w1t, b1, w2t, b2]
+    if cond is not None:
+        in_specs.append(block(cond.shape[1:]))
+        args.append(cond.astype(jnp.float32))
+
+    cc = cfg.c_cond if cond is not None else 0
+    flops_step = 2 * h * w * ((4 * c + cc) * cfg.fc_dim + cfg.fc_dim * c)
+    # The ping-pong partner is a second ANY-space OUTPUT (Mosaic does not
+    # allow HBM scratch allocations); it is discarded by the wrapper.
+    out, _ = pl.pallas_call(
+        _make_kernel_stream(
+            cfg, h, w, n_steps, band_h, tile_h, cond is not None, rate, cdt
+        ),
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, c, h, w), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, band_h + 16, w), jnp.float32),  # band + 8-row halo blocks
+            pltpu.VMEM((2, c, band_h, w), jnp.float32),      # band out
+            pltpu.SemaphoreType.DMA((2,)),                   # loads
+            pltpu.SemaphoreType.DMA((2,)),                   # stores
+            pltpu.SemaphoreType.DMA(()),                     # whole-state copies
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=2 * b * n_steps * c * h * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def fused_stream_supported(cfg: NCAConfig, h: int, w: int) -> bool:
+    """True when the HBM-streaming kernel applies (big circular grids)."""
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    if cfg.padding_mode != "circular" or w % _LANE != 0:
+        return False
+    band_h = _pick_band_h(h, w, cfg.c_in)
+    return h % band_h == 0 and band_h >= 8 and h > band_h

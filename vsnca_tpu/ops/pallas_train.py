@@ -37,7 +37,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,6 +44,8 @@ from vsnca_tpu.config import NCAConfig
 from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
 from vsnca_tpu.ops.pallas_step import (
     _LANE,
+    _draw_mask,
+    _mlp_dx,
     _pick_tile_h,
     _round_up,
     _stencil_from,
@@ -148,21 +149,9 @@ def _make_fwd_kernel(
                 percept = jnp.concatenate(parts, axis=0)
                 percept = percept.reshape(p_dim, tile_h * w).astype(compute_dtype)
 
-                hid = jnp.maximum(
-                    jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
-                    + b1_ref[:].reshape(f, 1),
-                    0.0,
-                ).astype(compute_dtype)
-                dx = (
-                    jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
-                    + b2_ref[:].reshape(c, 1)
-                ).reshape(c, tile_h, w)
-
-                bits = pltpu.prng_random_bits((tile_h, w))
-                u24 = jax.lax.shift_right_logical(
-                    pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-                )
-                mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                             c, f, tile_h, w, compute_dtype)
+                mask = _draw_mask(tile_h, w, thr)
                 dst[0, :, r0 : r0 + tile_h, :] = center + dx * mask[None]
 
         def ckpt_store(src, i):
@@ -269,39 +258,32 @@ def _make_bwd_kernel(
 
         def recompute_segment(s):
             """states[k] = x_{sK+k}, masks[k] = m_{sK+k}; bit-exact replay of
-            the forward (same per-step seeds, same tile order)."""
-            for k in range(segment):
+            the forward (same per-step seeds, same tile order). The k loop is
+            a fori_loop with dynamic leading-dim indexing — unrolling
+            segment x n_tiles tile bodies made the Mosaic program so large
+            the (remote) compile took tens of minutes."""
+
+            def one_k(k, carry):
                 pltpu.prng_seed(
-                    _step_seed(seed_ref[0], bidx, s * segment + jnp.int32(k))
+                    _step_seed(seed_ref[0], bidx, s * segment + k)
                 )
                 for t in range(n_tiles):
                     r0 = t * tile_h
                     center, percept = tile_percept(k, r0)
-                    bits = pltpu.prng_random_bits((tile_h, w))
-                    u24 = jax.lax.shift_right_logical(
-                        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-                    )
-                    mask = (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+                    mask = _draw_mask(tile_h, w, thr)
                     masks_ref[k, r0 : r0 + tile_h, :] = mask
-                    if k < segment - 1:
-                        hid = jnp.maximum(
-                            jnp.dot(
-                                w1t_ref[:], percept,
-                                preferred_element_type=jnp.float32,
-                            )
-                            + b1_ref[:].reshape(f, 1),
-                            0.0,
-                        ).astype(compute_dtype)
-                        dx = (
-                            jnp.dot(
-                                w2t_ref[:], hid,
-                                preferred_element_type=jnp.float32,
-                            )
-                            + b2_ref[:].reshape(c, 1)
-                        ).reshape(c, tile_h, w)
+
+                    @pl.when(k < segment - 1)
+                    def _():
+                        dx = _mlp_dx(percept, w1t_ref, b1_ref, w2t_ref,
+                                     b2_ref, c, f, tile_h, w, compute_dtype)
                         states_ref[k + 1, :, r0 : r0 + tile_h, :] = (
                             center + dx * mask[None]
                         )
+
+                return carry
+
+            jax.lax.fori_loop(0, segment, one_k, 0)
 
         def backward_step(k):
             # pass 1: MLP cotangents + param grads + gp
@@ -376,8 +358,9 @@ def _make_bwd_kernel(
             load.start()
             load.wait()
             recompute_segment(s)
-            for k in reversed(range(segment)):
-                backward_step(k)
+            jax.lax.fori_loop(
+                0, segment, lambda ki, cc_: backward_step(segment - 1 - ki) or cc_, 0
+            )
             return carry
 
         jax.lax.fori_loop(0, n_segments, per_segment, 0)

@@ -9,7 +9,6 @@ fallback via PIL for environments without a usable codec.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
 
 import numpy as np
 
