@@ -112,7 +112,10 @@ def measure(iters: int = 3) -> float:
         for _ in range(STEPS):
             s = model(s)
         rgb = (s[:, :3] * 2.0 + 1.0) / 2.0
-        loss = gram_loss(vgg, rgb, tgt_feats)
+        # overflow loss (weight 100) exactly like the static_texture preset:
+        # without it the unconstrained state diverges over the 64-step BPTT
+        overflow = (s - s.clamp(-1.0, 1.0)).abs().mean()
+        loss = gram_loss(vgg, rgb, tgt_feats) + 100.0 * overflow
         opt.zero_grad()
         loss.backward()
         for p in model.parameters():

@@ -129,3 +129,36 @@ def test_demo_page_references_runtime():
     html = open("web/index.html").read()
     assert "vsnca.js" in html and "VSNCA(" in html
     assert "getUserMedia" in html  # webcam path present
+
+
+def test_exact_count_selection_mirror():
+    """Mirror of vsnca.js _initSelectMask: the streaming reservoir placement
+    yields EXACTLY round(rate*N) selected cells (the SPARSE_UPDATE count
+    semantics of dynca.js:970-990), for any RNG draw."""
+    rng = np.random.RandomState(0)
+    for rate in (0.5, 0.25, 0.9):
+        for (h, w) in ((16, 16), (13, 7)):
+            n = h * w
+            want = int(round(rate * n))
+            sel = np.zeros(n, np.float32)
+            k = 0
+            for i in range(n):
+                if rng.rand() < (want - k) / (n - i):
+                    sel[i] = 1.0
+                    k += 1
+            assert int(sel.sum()) == want
+            # a shifted copy keeps the count (the per-step u_selOfs shift)
+            shifted = np.roll(sel.reshape(h, w), (3, 5), axis=(0, 1))
+            assert int(shifted.sum()) == want
+
+
+def test_js_runtime_declares_new_interfaces():
+    src = open(WEB_JS).read()
+    for sym in ("paint(", "clearCircle(", "setModel(", "detileAllModels",
+                "u_control", "u_select", "u_exactCount", "u_angle",
+                "u_hexGrid", "cellDirection"):
+        assert sym in src, sym
+    html = open("web/index.html").read()
+    for sym in ("sel-model", "rng-speed", "rng-zoom", "rng-angle",
+                "chk-hex", "chk-exact", "applyBrush"):
+        assert sym in html, sym

@@ -524,3 +524,49 @@ def test_gl_step_multimodel_control_select(gl):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(got[:, W // 2 :], ref1[:, W // 2 :],
                                rtol=2e-3, atol=2e-4)
+
+
+def test_gl_paint_pass_clears_circle(gl):
+    """Execute the paint shader (clearCircle semantics): pixels inside the
+    radius take the brush value, outside stay untouched."""
+    src = open(WEB_JS).read()
+    NTEX = 2
+    prog = _compile_program(gl, _quad_vs(src), render_paint_shader(NTEX))
+    H = W = 16
+
+    def tex_rgba(data):
+        t = gl.glGenTextures(1)
+        gl.glBindTexture(gl.GL_TEXTURE_2D, t)
+        gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MIN_FILTER, gl.GL_NEAREST)
+        gl.glTexParameteri(gl.GL_TEXTURE_2D, gl.GL_TEXTURE_MAG_FILTER, gl.GL_NEAREST)
+        gl.glTexImage2D(gl.GL_TEXTURE_2D, 0, gl.GL_RGBA32F, W, H, 0, gl.GL_RGBA,
+                        gl.GL_FLOAT, np.ascontiguousarray(data, np.float32))
+        return t
+
+    ones = np.ones((H, W, 4), np.float32)
+    texs = [tex_rgba(ones) for _ in range(NTEX)]
+    fbo = gl.glGenFramebuffers(1)
+    gl.glBindFramebuffer(gl.GL_FRAMEBUFFER, fbo)
+    for k, t in enumerate(texs):
+        gl.glFramebufferTexture2D(gl.GL_FRAMEBUFFER, gl.GL_COLOR_ATTACHMENT0 + k,
+                                  gl.GL_TEXTURE_2D, t, 0)
+    gl.glDrawBuffers(NTEX, [gl.GL_COLOR_ATTACHMENT0 + k for k in range(NTEX)])
+    gl.glBindVertexArray(gl.glGenVertexArrays(1))
+    gl.glViewport(0, 0, W, H)
+    gl.glUseProgram(prog)
+    loc = lambda n: gl.glGetUniformLocation(prog, n)
+    gl.glUniform2f(loc("u_pos"), 8.0, 8.0)
+    gl.glUniform1f(loc("u_r"), 4.0)
+    gl.glUniform1f(loc("u_zoom"), 1.0)
+    gl.glUniform4f(loc("u_brush"), 0.0, 0.0, 0.0, 0.0)
+    gl.glDrawArrays(gl.GL_TRIANGLE_STRIP, 0, 4)
+    gl.glFinish()
+
+    buf = np.zeros((H, W, 4), np.float32)
+    for k in range(NTEX):
+        gl.glReadBuffer(gl.GL_COLOR_ATTACHMENT0 + k)
+        gl.glReadPixels(0, 0, W, H, gl.GL_RGBA, gl.GL_FLOAT, buf)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32) + 0.5
+        inside = np.sqrt((xx - 8.0) ** 2 + (yy - 8.0) ** 2) < 4.0
+        assert (buf[inside] == 0.0).all(), f"tex {k}: circle not cleared"
+        assert (buf[~inside] == 1.0).all(), f"tex {k}: outside modified"
