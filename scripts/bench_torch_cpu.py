@@ -33,6 +33,11 @@ class DyNCA(torch.nn.Module):
         super().__init__()
         self.w1 = torch.nn.Conv2d(4 * C_IN + 2, FC, 1)
         self.w2 = torch.nn.Conv2d(FC, C_IN, 1)
+        # reference init (dynca.py:60-65): Xavier-normal gains 0.2 / 0.1,
+        # zero w2 bias — torch's default init makes the rollout diverge
+        torch.nn.init.xavier_normal_(self.w1.weight, gain=0.2)
+        torch.nn.init.xavier_normal_(self.w2.weight, gain=0.1)
+        torch.nn.init.zeros_(self.w2.bias)
         ys = torch.linspace(-1, 1, SIZE)
         self.register_buffer(
             "cpe",
