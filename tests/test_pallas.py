@@ -216,3 +216,14 @@ def test_stencil_folded_w1_identity():
     w_eff = np.asarray(stencil_folded_w1(w1, c))
     stacked = np.concatenate([taps.reshape(-1), cond])
     np.testing.assert_allclose(w_eff.T @ stacked, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mat_stencil_rejects_bf16_state():
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular")
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 16, 128)) - 0.5
+    with pytest.raises(AssertionError, match="float32 state"):
+        with pltpu.force_tpu_interpret_mode():
+            fused_rollout_chw(params, x, jnp.int32(0), cfg, 2,
+                              interpret=True, algo="mat",
+                              state_dtype="bfloat16")

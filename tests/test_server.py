@@ -85,3 +85,27 @@ def test_unknown_session_404(server):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_stream_unknown_session_is_clean_404(server):
+    """A bad session id must 404 BEFORE multipart headers are committed
+    (the generator used to raise after the 200 was already sent)."""
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        urllib.request.urlopen(f"{base}/stream/nope?frames=2", timeout=30)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        assert "json" in e.headers.get("Content-Type", "")
+
+
+def test_damage_missing_params_400(server):
+    base = f"http://127.0.0.1:{server.port}"
+    body, _ = _post(f"{base}/session", json.dumps({"size": 32}).encode(),
+                    "application/json")
+    sid = json.loads(body)["session"]
+    try:
+        _post(f"{base}/damage/{sid}")
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -7,7 +7,7 @@ NCA state lives on-device between requests — the same persistent-state
 semantics as save_video, video_utils.py:50-83) and serves:
 
 - ``POST /session``                 → create a session (JSON config body:
-  size, step_n, seed; optional checkpoint path), returns {"session": id}
+  size, step_n, seed), returns {"session": id}
 - ``POST /frame/<id>``              → body: JPEG/PNG content frame; returns
   the stylized frame as JPEG (state persists across calls)
 - ``POST /damage/<id>?x=&y=&r=``    → circular damage brush (regeneration)
@@ -123,7 +123,13 @@ class StylizeServer:
                         out = outer.step_frame(parts[1], self._body())
                         return self._bytes(200, out, "image/jpeg")
                     if len(parts) == 2 and parts[0] == "damage":
+                        if parts[1] not in outer.sessions:
+                            return self._json(404, {"error": "no such session"})
                         q = parse_qs(url.query)
+                        if "x" not in q or "y" not in q:
+                            return self._json(
+                                400, {"error": "x and y query params required"}
+                            )
                         outer.damage(
                             parts[1], int(q["x"][0]), int(q["y"][0]),
                             int(q.get("r", ["8"])[0]),
@@ -146,6 +152,10 @@ class StylizeServer:
                 if len(parts) == 2 and parts[0] == "stream":
                     q = parse_qs(url.query)
                     n = int(q.get("frames", ["30"])[0])
+                    # resolve the session BEFORE committing the 200 +
+                    # multipart headers — the generator raises lazily
+                    if parts[1] not in outer.sessions:
+                        return self._json(404, {"error": "no such session"})
                     try:
                         self.send_response(200)
                         self.send_header(
@@ -214,6 +224,8 @@ class StylizeServer:
             yield _encode_jpeg(out_np)
 
     def stats(self):
+        # snapshot: handler threads may insert sessions mid-iteration
+        items = list(self.sessions.items())
         return {
             "sessions": {
                 sid: {
@@ -221,7 +233,7 @@ class StylizeServer:
                     "size": list(s.stylizer.size),
                     "step_n": s.stylizer.step_n,
                 }
-                for sid, s in self.sessions.items()
+                for sid, s in items
             }
         }
 

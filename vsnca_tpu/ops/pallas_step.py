@@ -639,6 +639,10 @@ def fused_rollout_chw(
     multiscale = scales == (0, 1)
     use_roll = (algo in ("roll", "mat") and sdt == jnp.float32) or multiscale
     mat_stencil = algo == "mat" and not multiscale
+    assert not (mat_stencil and not use_roll), (
+        "algo='mat' requires float32 state (the padded bf16-state kernel "
+        "has no folded-stencil variant)"
+    )
     if multiscale:
         assert sdt == jnp.float32 and h % 2 == 0 and w % 2 == 0
         assert tile_h * w <= 4096, (

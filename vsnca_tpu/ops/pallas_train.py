@@ -589,9 +589,13 @@ def fused_rollout_train_chw(
     scalar PRNG seed (float so custom_vjp has a well-typed zero cotangent;
     values should stay within int32 range). Returns the final state.
     Gradients flow to params, x, and cond; masks are constants (the
-    reference's pass-through Bernoulli semantics, SURVEY.md §7)."""
+    reference's pass-through Bernoulli semantics, SURVEY.md §7).
+
+    Primal-only calls (no grad taken) use a single-checkpoint forward
+    (segment = n_steps) so they skip the per-segment checkpoint DMAs; the
+    differentiated path runs through _train_fwd with the real segment."""
     y, _ = _fwd_call(
-        params, x, cond, seed_f.astype(jnp.int32), cfg, n_steps, segment,
+        params, x, cond, seed_f.astype(jnp.int32), cfg, n_steps, n_steps,
         compute_dtype, interpret,
     )
     return y

@@ -79,6 +79,12 @@ def make_train_step(
     ):
         b = states.shape[0]
         hw = states.shape[1:3]
+        if rollout_path == "fused" and n_motion_frames > 0:
+            raise ValueError(
+                "rollout_path='fused' does not support tapped (video-motion)"
+                " rollouts — intermediate frame taps would need checkpoint"
+                " taps in-kernel; use rollout_path='auto' or 'xla'"
+            )
 
         # Content channel append (ExtraChannels: experiments.py:211).
         if nca_cfg.n_seed_channels < nca_cfg.c_in:
@@ -267,9 +273,26 @@ class DyNCATrainer:
                 key=self._next_key(),
             )
         )
+        rollout_path = getattr(train_cfg, "rollout_path", "auto")
+        if rollout_path in ("auto", "fused") and jax.default_backend() == "tpu":
+            from vsnca_tpu.ops.pallas_train import fused_train_supported
+
+            h, w = train_cfg.img_size
+            if any(
+                fused_train_supported(nca_cfg, h, w, n)
+                for n in train_cfg.step_buckets
+            ):
+                print(
+                    "[vsnca_tpu] fused custom-VJP training kernels selected: "
+                    "the first compile per rollout-length bucket takes "
+                    "minutes (remote Mosaic); set rollout_path='xla' in "
+                    "TrainConfig to skip. Tapped (video-motion) rollouts "
+                    "always use the XLA path.",
+                    flush=True,
+                )
         self._train_step = make_train_step(
             nca_cfg, self.loss_state, self.optimizer, train_cfg.remat,
-            getattr(train_cfg, "rollout_path", "auto"),
+            rollout_path,
         )
         self._pooled_step = make_pooled_train_step(self._train_step)
         self._seed_template = dynca_seed(

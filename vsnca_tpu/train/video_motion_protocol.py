@@ -185,44 +185,56 @@ def synthesize_and_score(
     if texture_frames is None:
         texture_frames = target_video
 
+    # Batch all (frame, target) pairs through vmapped scorers — ONE device
+    # dispatch + fetch per metric instead of O(n_frames * T) blocking
+    # float() round-trips (each a tunnel round-trip on the axon backend).
+    n_tex = int(texture_frames.shape[0])
+
     @jax.jit
-    def app_score(gen, tgt, k):
-        return appearance_loss(
-            vgg, gen, tgt, loss_cfg.appearance_loss_type, k,
-            loss_cfg.ot_subsample, loss_cfg.slw_projections,
+    def app_scores_all(frames_, k):
+        keys = jax.random.split(k, n_frames * n_tex).reshape(
+            n_frames, n_tex, -1
+        )
+
+        def per_pair(gen, tgt, kk):
+            return appearance_loss(
+                vgg, gen[None], tgt[None], loss_cfg.appearance_loss_type, kk,
+                loss_cfg.ot_subsample, loss_cfg.slw_projections,
+            )
+
+        per_gen = jax.vmap(per_pair, in_axes=(None, 0, 0))
+        return jax.vmap(per_gen, in_axes=(0, None, 0))(
+            frames_[:, 0], texture_frames, keys
         )
 
     @jax.jit
-    def motion_score(gen_pair, tgt_pair, k):
-        l, _ = video_motion_loss(
-            msoe, [gen_pair[0], gen_pair[1]], [tgt_pair[0], tgt_pair[1]],
-            loss_cfg.video_motion_loss_type, k, loss_cfg.motion_img_size,
-            loss_cfg.ot_subsample, loss_cfg.slw_projections,
+    def motion_scores_all(frames_, k):
+        t_pairs = target_video.shape[0] - 1
+        keys = jax.random.split(k, (n_frames - 1) * t_pairs).reshape(
+            n_frames - 1, t_pairs, -1
         )
-        return l
 
-    app_scores, motion_scores = [], []
-    for i in range(n_frames):
-        gen = frames[i]
-        for t in range(texture_frames.shape[0]):
-            key, sub = jax.random.split(key)
-            app_scores.append(float(app_score(gen, texture_frames[t : t + 1], sub)))
-        if msoe is not None and loss_cfg.video_motion_weight != 0 and i > 0:
-            gen_pair = (frames[i - 1], frames[i])
-            for t in range(target_video.shape[0] - 1):
-                key, sub = jax.random.split(key)
-                motion_scores.append(
-                    float(
-                        motion_score(
-                            gen_pair,
-                            (target_video[t : t + 1], target_video[t + 1 : t + 2]),
-                            sub,
-                        )
-                    )
-                )
-    result = {"appearance_loss_mean": float(np.mean(app_scores))}
-    if motion_scores:
-        result["video_motion_loss_mean"] = float(np.mean(motion_scores))
+        def per_pair(g0, g1, t0, t1, kk):
+            l, _ = video_motion_loss(
+                msoe, [g0[None], g1[None]], [t0[None], t1[None]],
+                loss_cfg.video_motion_loss_type, kk,
+                loss_cfg.motion_img_size, loss_cfg.ot_subsample,
+                loss_cfg.slw_projections,
+            )
+            return l
+
+        per_gen = jax.vmap(per_pair, in_axes=(None, None, 0, 0, 0))
+        return jax.vmap(per_gen, in_axes=(0, 0, None, None, 0))(
+            frames_[:-1, 0], frames_[1:, 0],
+            target_video[:-1], target_video[1:], keys,
+        )
+
+    key, k_app, k_mot = jax.random.split(key, 3)
+    app = np.asarray(app_scores_all(frames, k_app))
+    result = {"appearance_loss_mean": float(app.mean())}
+    if msoe is not None and loss_cfg.video_motion_weight != 0 and n_frames > 1:
+        mot = np.asarray(motion_scores_all(frames, k_mot))
+        result["video_motion_loss_mean"] = float(mot.mean())
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "final_loss_test.txt"), "w") as f:
         f.write(repr(result))

@@ -337,7 +337,7 @@ class VSNCA {
     this.angle = 0.0;        // degrees, like dynca.js rotationAngle
     this.alignment = 0;      // 0 cartesian, 1 polar, 2 bipolar
     this.hexGrid = 0.0;
-    this.mirror = opts.mirror ?? 1;
+    this.mirror = opts.mirror ?? 0;  // set to 1 for webcam sources
     this.step_ = 0;
 
     this.nModels = countModels(modelJson);
@@ -515,9 +515,9 @@ class VSNCA {
   }
 
   /** Brush: run model `modelIdx` inside the circle (dynca.js paint). */
-  paint(x, y, r, modelIdx = 0) {
+  paint(x, y, r, modelIdx = 0, zoom = 1.0) {
     const m = Math.max(0, Math.min(this.nModels - 1, modelIdx));
-    this._runPaint(this.controlFbo, 1, x, y, r, [m, 0, 0, 0]);
+    this._runPaint(this.controlFbo, 1, x, y, r, [m, 0, 0, 0], zoom);
   }
 
   /** Brush: zero the state in a circle — damage tool (dynca.js clearCircle). */
