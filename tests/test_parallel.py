@@ -118,6 +118,50 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_trainer_dp_mesh_matches_single_device():
+    """DyNCATrainer(mesh=...) — the integrated data-parallel path — must
+    track the single-device trainer exactly (same seeds → same RNG stream →
+    same pool indices/keys; only the reduction order differs)."""
+    from vsnca_tpu.config import TrainConfig
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    n = 4
+    mesh = make_mesh({"data": n}, jax.devices()[:n])
+    nca_cfg = NCAConfig(c_in=6, fc_dim=16, conditioning="pos_emb")
+    loss_cfg = LossConfig(overflow_weight=100.0, appearance_weight=1.0,
+                          appearance_loss_type="Gram")
+    train_cfg = TrainConfig(img_size=(16, 16), batch_size=n, pool_size=8,
+                            step_range=(3, 4), step_buckets=(3,),
+                            max_iterations=3, remat="none",
+                            rollout_path="xla")
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    style = jnp.asarray(
+        np.random.RandomState(1).rand(n, 16, 16, 3).astype(np.float32) * 2 - 1
+    )
+
+    t_ref = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg, seed=7)
+    t_dp = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg, seed=7,
+                        mesh=mesh)
+
+    for _ in range(3):
+        l_ref = t_ref.train_iteration({"target_style": style})
+        l_dp = t_dp.train_iteration({"target_style": style})
+        np.testing.assert_allclose(l_ref.loss, l_dp.loss, rtol=1e-5)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_ref.params),
+        jax.tree_util.tree_leaves(t_dp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    # pool write-backs must land identically through the sharded scatter
+    np.testing.assert_allclose(
+        np.asarray(t_ref.pool.states), np.asarray(t_dp.pool.states),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_graft_entry_dryrun():
     import sys
 

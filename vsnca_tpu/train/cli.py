@@ -50,6 +50,10 @@ def setup_args():
                         "--eval-videos folder (experiments.py:305-312)")
     p.add_argument("--eval-videos", default=None,
                    help="folder of mp4/gif to stylize post-training")
+    p.add_argument("--dp", type=int, default=0, metavar="N",
+                   help="data-parallel training over N devices (0 = single "
+                        "device). Requires batch_size %% N == 0; gradients "
+                        "are all-reduced over the mesh by XLA.")
     return p.parse_args()
 
 
@@ -66,6 +70,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+    # Honor an explicit JAX_PLATFORMS request even on images whose
+    # sitecustomize registers a preferred plugin regardless of env vars
+    # (needed for --dp testing on a virtual CPU mesh; see CLAUDE.md).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
 
     from vsnca_tpu.data.preprocess import (
         preprocess_style_image,
@@ -168,8 +182,21 @@ def main():
         print(f"MSOE weights: {'pretrained' if msoe_pretrained else 'RANDOM FALLBACK'}")
     print(f"VGG16 weights: {'pretrained' if vgg_pretrained else 'RANDOM FALLBACK'}")
 
+    mesh = None
+    if args.dp:
+        from vsnca_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        assert len(devices) >= args.dp, (
+            f"--dp {args.dp} but only {len(devices)} devices visible "
+            "(for CPU testing set XLA_FLAGS=--xla_force_host_platform_"
+            "device_count=N JAX_PLATFORMS=cpu)"
+        )
+        mesh = make_mesh({"data": args.dp}, devices[: args.dp])
+        print(f"data-parallel mesh: {args.dp}x {devices[0].platform}")
+
     trainer = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
-                           msoe_params=msoe)
+                           msoe_params=msoe, mesh=mesh)
     from vsnca_tpu.models.dynca import param_count
 
     print(f"DyNCA param count: {param_count(trainer.params)}")

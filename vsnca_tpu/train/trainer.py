@@ -194,11 +194,16 @@ def make_train_step(
     return train_step
 
 
-def make_pooled_train_step(train_step):
+def make_pooled_train_step(train_step, batch_sharding=None):
     """Wrap a train step so pool gather / seed-injection / scatter execute
     INSIDE one jitted program with buffer donation — a single device
     dispatch per training iteration (host-side pool indexing costs several
     tunnel round-trips per iteration otherwise).
+
+    ``batch_sharding`` (data-parallel mode): a NamedSharding over the mesh
+    'data' axis; the gathered batch is sharding-constrained to it so the
+    rollout/loss/grad run data-parallel and XLA inserts the gradient
+    all-reduce (SURVEY.md §5.8).
     """
 
     @partial(
@@ -223,11 +228,17 @@ def make_pooled_train_step(train_step):
         states = pool_states[idx]
         if inject:
             states = states.at[:1].set(seed_state[:1])
+        if batch_sharding is not None:
+            states = jax.lax.with_sharding_constraint(states, batch_sharding)
         params, opt_state, new_states, loss, logs = train_step(
             params, opt_state, states, key, inputs,
             step_n=step_n, n_motion_frames=n_motion_frames, tap_every=tap_every,
         )
         pool_states = pool_states.at[idx].set(new_states)
+        if batch_sharding is not None:
+            pool_states = jax.lax.with_sharding_constraint(
+                pool_states, batch_sharding
+            )
         return params, opt_state, pool_states, loss, logs
 
     return pooled_step
@@ -252,7 +263,14 @@ class DyNCATrainer:
         vgg_params=None,
         msoe_params=None,
         seed: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — the
+        trainer then runs data-parallel: params/optimizer replicated, pool +
+        batch sharded on the leading dim, gradient all-reduce inserted by
+        XLA from the sharding annotations (no NCCL analogue — SURVEY §5.8).
+        The reference has no distributed backend; this is the TPU-native
+        scale-out of its batch-level parallelism."""
         self.nca_cfg = nca_cfg
         self.train_cfg = train_cfg
         self.loss_state = LossState(
@@ -290,14 +308,47 @@ class DyNCATrainer:
                     "always use the XLA path.",
                     flush=True,
                 )
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            assert train_cfg.batch_size % n_dev == 0, (
+                f"batch_size {train_cfg.batch_size} must divide evenly over "
+                f"the {n_dev}-device '{axis}' mesh axis"
+            )
+            assert train_cfg.pool_size % n_dev == 0, (
+                f"pool_size {train_cfg.pool_size} must divide evenly over "
+                f"the {n_dev}-device '{axis}' mesh axis"
+            )
+            self._rep_sharding = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P(axis))
+            self._time_major_sharding = NamedSharding(mesh, P(None, axis))
         self._train_step = make_train_step(
             nca_cfg, self.loss_state, self.optimizer, train_cfg.remat,
             rollout_path,
         )
-        self._pooled_step = make_pooled_train_step(self._train_step)
+        self._pooled_step = make_pooled_train_step(
+            self._train_step, self._batch_sharding
+        )
         self._seed_template = dynca_seed(
             nca_cfg, 1, train_cfg.img_size, key=self._next_key()
         )
+        if mesh is not None:
+            self.params = jax.device_put(self.params, self._rep_sharding)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._rep_sharding)
+                if hasattr(x, "ndim") else x,
+                self.opt_state,
+            )
+            self.pool.states = jax.device_put(
+                self.pool.states, self._batch_sharding
+            )
+            self._seed_template = jax.device_put(
+                self._seed_template, self._rep_sharding
+            )
         self.iteration = 0
         self.history: list = []
 
@@ -312,7 +363,9 @@ class DyNCATrainer:
             self.nca_cfg, self.loss_state, self.optimizer,
             self.train_cfg.remat, getattr(self.train_cfg, "rollout_path", "auto"),
         )
-        self._pooled_step = make_pooled_train_step(self._train_step)
+        self._pooled_step = make_pooled_train_step(
+            self._train_step, self._batch_sharding
+        )
 
     def sample_step_n(self) -> int:
         """Random rollout length snapped to the nearest jit bucket."""
@@ -346,6 +399,9 @@ class DyNCATrainer:
 
         step_n = step_n if step_n is not None else self.sample_step_n()
 
+        if self.mesh is not None:
+            inputs = {k: self._place_input(k, v) for k, v in inputs.items()}
+
         (
             self.params,
             self.opt_state,
@@ -378,6 +434,18 @@ class DyNCATrainer:
             self.history.append(log)
             return log
         return TrainLog(i, loss, logs)
+
+    def _place_input(self, k: str, v):
+        """Data-parallel input placement: batch-leading arrays shard over
+        the data axis; target_motion_frames is [T, B, ...] (batch on axis
+        1); everything else replicates."""
+        if not hasattr(v, "ndim"):
+            return v
+        if k == "target_motion_frames":
+            return jax.device_put(v, self._time_major_sharding)
+        if v.ndim >= 1 and v.shape[0] == self.train_cfg.batch_size:
+            return jax.device_put(v, self._batch_sharding)
+        return jax.device_put(v, self._rep_sharding)
 
     def reseed_pool_slots(self, idx: np.ndarray):
         """Anomaly recovery: replace diverged slots with fresh seeds
