@@ -353,3 +353,100 @@ def test_video_motion_ot_value_parity():
         theirs += float(remd(X, Y) + moment(X, Y))
     theirs /= b
     np.testing.assert_allclose(float(ours), theirs, rtol=1e-3, atol=1e-6)
+
+
+def test_appearance_precomputed_target_features_identical():
+    """precompute_target_style_features + target_features must reproduce the
+    recomputed path bit-for-bit (same key -> same OT subsample indices)."""
+    from vsnca_tpu.losses.appearance import precompute_target_style_features
+
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    gen = jax.random.uniform(jax.random.PRNGKey(1), (2, 48, 48, 3)) * 2 - 1
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (2, 48, 48, 3)) * 2 - 1
+    key = jax.random.PRNGKey(3)
+    for lt in ("Gram", "OT", "SlW"):
+        ref = appearance_loss(vgg, gen, tgt, lt, key)
+        feats = precompute_target_style_features(vgg, tgt, lt, (48, 48))
+        got = appearance_loss(vgg, gen, tgt, lt, key, target_features=feats)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_video_motion_precomputed_target_features_identical():
+    from vsnca_tpu.losses.video_motion import (
+        precompute_target_motion_features,
+    )
+
+    msoe = msoe_random_init(jax.random.PRNGKey(0))
+    gen = [
+        jax.random.uniform(jax.random.PRNGKey(i), (2, 48, 48, 3)) * 2 - 1
+        for i in range(3)
+    ]
+    video = jax.random.uniform(jax.random.PRNGKey(9), (5, 48, 48, 3)) * 2 - 1
+    start = 1
+    tgt = [video[start + i][None].repeat(2, axis=0) for i in range(3)]
+    key = jax.random.PRNGKey(4)
+    feats = precompute_target_motion_features(msoe, video, (48, 48))
+    assert feats.shape[0] == 4
+    for lt in ("MotionGram", "MotionOT"):
+        ref, _ = video_motion_loss(msoe, gen, tgt, lt, key, (48, 48))
+        got, _ = video_motion_loss(
+            msoe, gen, None, lt, key, (48, 48),
+            target_features=feats[start : start + 2],
+        )
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_train_step_precomputed_targets_identical():
+    """The full jitted train step produces identical params/loss with and
+    without precomputed target features (same key -> same rollout/masks)."""
+    from vsnca_tpu.config import NCAConfig
+    from vsnca_tpu.losses.appearance import precompute_target_style_features
+    from vsnca_tpu.losses.video_motion import (
+        precompute_target_motion_features,
+    )
+    from vsnca_tpu.models.dynca import dynca_init, dynca_seed
+    from vsnca_tpu.models.msoe import msoe_random_init
+    from vsnca_tpu.train.optim import make_optimizer
+    from vsnca_tpu.train.trainer import make_train_step
+
+    nca_cfg = NCAConfig(c_in=6, fc_dim=16, conditioning="pos_emb")
+    loss_cfg = LossConfig(
+        overflow_weight=1.0, appearance_weight=1.0,
+        appearance_loss_type="Gram", video_motion_weight=5.0,
+        video_motion_loss_type="MotionGram", motion_img_size=(48, 48),
+    )
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    msoe = msoe_random_init(jax.random.PRNGKey(1))
+    loss_state = LossState(cfg=loss_cfg, vgg_params=vgg, msoe_params=msoe)
+    optimizer = make_optimizer(1e-3)
+    step = make_train_step(nca_cfg, loss_state, optimizer)
+
+    params = dynca_init(jax.random.PRNGKey(2), nca_cfg)
+    opt_state = optimizer.init(params)
+    states = dynca_seed(nca_cfg, 2, 48)
+    style = jax.random.uniform(jax.random.PRNGKey(3), (2, 48, 48, 3)) * 2 - 1
+    video = jax.random.uniform(jax.random.PRNGKey(4), (3, 48, 48, 3)) * 2 - 1
+    frames = jnp.stack([jnp.broadcast_to(video[k], (2, 48, 48, 3))
+                        for k in range(3)])
+    key = jax.random.PRNGKey(5)
+
+    base = {"target_style": style, "target_motion_frames": frames}
+    pre = {
+        "target_style": style,
+        "target_style_features": precompute_target_style_features(
+            vgg, style, "Gram", (48, 48)
+        ),
+        "target_motion_features": precompute_target_motion_features(
+            msoe, video, (48, 48)
+        ),
+    }
+    p1, _, s1, l1, _ = step(params, opt_state, states, key, base,
+                            step_n=4, n_motion_frames=3, tap_every=2)
+    p2, _, s2, l2, _ = step(params, opt_state, states, key, pre,
+                            step_n=4, n_motion_frames=3, tap_every=2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)

@@ -227,12 +227,16 @@ def benchmark_train_step(
     step_n: Optional[int] = None,
     img_size: Optional[int] = None,
     rollout_path: Optional[str] = None,
+    precompute_targets: bool = False,
 ) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
     update) for a preset config. Presets with a video-motion term get a
     synthetic target window and tapped rollout frames (n_motion_frames=3,
     tap_every=step_n//2), matching the fit_video_motion workload shape.
-    ``rollout_path`` overrides TrainConfig.rollout_path (auto|xla|fused)."""
+    ``rollout_path`` overrides TrainConfig.rollout_path (auto|xla|fused).
+    ``precompute_targets`` hoists the constant target-side VGG/MSOE features
+    out of the iteration (the production-path optimization the CLI and
+    VideoMotionProtocol use)."""
     import dataclasses
 
     from vsnca_tpu.data.preprocess import synthetic_style_image
@@ -267,6 +271,28 @@ def benchmark_train_step(
         inputs["target_motion_frames"] = jnp.stack(
             [style + 0.01 * k for k in range(n_motion_frames)]
         )
+
+    if precompute_targets:
+        from vsnca_tpu.losses.appearance import (
+            precompute_target_style_features,
+        )
+
+        if loss_cfg.appearance_weight:
+            inputs["target_style_features"] = precompute_target_style_features(
+                vgg, style, loss_cfg.appearance_loss_type, train_cfg.img_size
+            )
+        if loss_cfg.video_motion_weight:
+            from vsnca_tpu.losses.video_motion import (
+                precompute_target_motion_features,
+            )
+
+            window = jnp.stack([style[0] + 0.01 * k for k in range(3)])
+            inputs["target_motion_features"] = (
+                precompute_target_motion_features(
+                    msoe, window, loss_cfg.motion_img_size
+                )
+            )
+            del inputs["target_motion_frames"]
 
     # warmup/compile both jit variants (seed-inject on iteration 0, plain after)
     trainer.train_iteration(inputs, **kwargs)

@@ -159,6 +159,26 @@ def ot_style_loss(
 # ------------------------------------------------- dispatcher
 
 
+def precompute_target_style_features(
+    vgg_params, target: jnp.ndarray, loss_type: str, size_hw=None
+):
+    """Extract the target-side VGG features ONCE for a style image that is
+    constant across training iterations (the reference recomputes them under
+    no_grad every iteration — appearance_loss.py:56-60; precomputing is
+    gradient-identical). Pass the result as ``appearance_loss``'s
+    ``target_features`` / the trainer's ``target_style_features`` input."""
+    from vsnca_tpu.models.vgg import vgg16_style_features
+    from vsnca_tpu.ops.resize import resize_bilinear
+
+    tgt = (target + 1.0) / 2.0
+    if size_hw is not None and tgt.shape[1:3] != tuple(size_hw):
+        tgt = resize_bilinear(tgt, tuple(size_hw))
+    feats = vgg16_style_features(
+        vgg_params, tgt, include_image_as_feat=(loss_type == "SlW")
+    )
+    return [jax.lax.stop_gradient(t) for t in feats]
+
+
 def appearance_loss(
     vgg_params,
     generated: jnp.ndarray,
@@ -167,23 +187,33 @@ def appearance_loss(
     key: Optional[jax.Array] = None,
     subsample: int = 1000,
     proj_n: int = 32,
+    target_features=None,
 ) -> jnp.ndarray:
     """Appearance loss between RGB batches in [-1, 1]
     (appearance_loss.py:48-67): rescale to [0,1], resize target to the
     generated size, extract VGG features, apply the selected metric.
+
+    ``target_features``: optional precomputed target VGG features (from
+    ``precompute_target_style_features``) — skips the target-side forward;
+    the math is identical (targets carry no gradient either way).
     """
     from vsnca_tpu.models.vgg import vgg16_style_features
     from vsnca_tpu.ops.resize import resize_bilinear
 
     gen = (generated + 1.0) / 2.0
-    tgt = (target + 1.0) / 2.0
-    if gen.shape[1:3] != tgt.shape[1:3]:
-        tgt = resize_bilinear(tgt, gen.shape[1:3])
 
     include_img = loss_type == "SlW"
     gen_f = vgg16_style_features(vgg_params, gen, include_image_as_feat=include_img)
-    tgt_f = vgg16_style_features(vgg_params, tgt, include_image_as_feat=include_img)
-    tgt_f = [jax.lax.stop_gradient(t) for t in tgt_f]
+    if target_features is not None:
+        tgt_f = [jax.lax.stop_gradient(t) for t in target_features]
+    else:
+        tgt = (target + 1.0) / 2.0
+        if gen.shape[1:3] != tgt.shape[1:3]:
+            tgt = resize_bilinear(tgt, gen.shape[1:3])
+        tgt_f = vgg16_style_features(
+            vgg_params, tgt, include_image_as_feat=include_img
+        )
+        tgt_f = [jax.lax.stop_gradient(t) for t in tgt_f]
 
     if loss_type == "Gram":
         return gram_loss(gen_f, tgt_f)

@@ -103,11 +103,15 @@ def make_loss_fn(state: LossState) -> Callable:
             key, sub = jax.random.split(key)
             gen_list = input_dict["generated_image_list"]
             tgt_list = input_dict["target_image_list"]
+            # Optional precomputed style features (constant across
+            # iterations — see precompute_target_style_features).
+            tgt_feats = input_dict.get("target_style_features")
             l = 0.0
             for g, t in zip(gen_list, tgt_list):
                 l = l + appearance_loss(
                     state.vgg_params, g, t, cfg.appearance_loss_type, sub,
                     cfg.ot_subsample, cfg.slw_projections,
+                    target_features=tgt_feats,
                 )
             l = l / len(gen_list)
             logs["appearance"] = l * cfg.appearance_weight
@@ -118,12 +122,13 @@ def make_loss_fn(state: LossState) -> Callable:
             l, _ = video_motion_loss(
                 state.msoe_params,
                 input_dict["generated_image_list_motion"],
-                input_dict["target_motion_image_list"],
+                input_dict.get("target_motion_image_list"),
                 cfg.video_motion_loss_type,
                 sub,
                 cfg.motion_img_size,
                 cfg.ot_subsample,
                 cfg.slw_projections,
+                target_features=input_dict.get("target_motion_feature_list"),
             )
             logs["video_motion"] = l * cfg.video_motion_weight
             total = total + cfg.video_motion_weight * l

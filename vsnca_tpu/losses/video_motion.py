@@ -35,6 +35,29 @@ def _motion_gram(f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def precompute_target_motion_features(
+    msoe_params, target_video: jnp.ndarray, motion_img_size=(128, 128)
+) -> jnp.ndarray:
+    """MSOE motion features of EVERY consecutive target-frame pair, computed
+    once per video (the targets are constant across training iterations; the
+    reference re-extracts them under no_grad every iteration —
+    video_motion_loss.py:95-99; precomputing is gradient-identical).
+
+    target_video: [T, H, W, 3] RGB in [-1, 1]. Returns [T-1, h', w', 320];
+    slice the training window's pairs and pass (broadcast over batch) as
+    ``video_motion_loss``'s ``target_features``."""
+    feats = []
+    for t in range(target_video.shape[0] - 1):
+        f, _ = motion_feature(
+            msoe_params,
+            target_video[t : t + 1],
+            target_video[t + 1 : t + 2],
+            motion_img_size,
+        )
+        feats.append(jax.lax.stop_gradient(f[0]))
+    return jnp.stack(feats)
+
+
 def video_motion_loss(
     msoe_params,
     generated_frames: Sequence[jnp.ndarray],
@@ -44,6 +67,7 @@ def video_motion_loss(
     motion_img_size=(128, 128),
     subsample: int = 1000,
     proj_n: int = 32,
+    target_features=None,
 ):
     """Sum over consecutive frame-pair indices of the selected motion metric
     (video_motion_loss.py:84-111). Target features are gradient-stopped.
@@ -55,6 +79,12 @@ def video_motion_loss(
 
     generated_frames / target_frames: lists of RGB [-1, 1] batches, length
     >= 2. Returns (loss, (last_gen_flow, last_target_flow)).
+
+    ``target_features``: optional per-pair precomputed target MSOE features
+    (sequence of [B, h', w', 320] or broadcastable [h', w', 320] entries,
+    length len(frames)-1, from ``precompute_target_motion_features``) —
+    skips the target-side MSOE forwards; target flow summaries are then
+    unavailable (None).
     """
     from vsnca_tpu.losses.appearance import (
         _flatten,
@@ -73,12 +103,21 @@ def video_motion_loss(
             msoe_params, generated_frames[idx], generated_frames[idx + 1],
             motion_img_size,
         )
-        ft, flow_t = motion_feature(
-            msoe_params, target_frames[idx], target_frames[idx + 1],
-            motion_img_size,
-        )
-        ft = jax.lax.stop_gradient(ft)
-        flow_t = jax.lax.stop_gradient(flow_t)
+        if target_features is not None:
+            ft = jax.lax.stop_gradient(
+                jnp.broadcast_to(
+                    target_features[idx],
+                    (fg.shape[0],) + tuple(target_features[idx].shape[-3:]),
+                )
+            )
+            flow_t = None
+        else:
+            ft, flow_t = motion_feature(
+                msoe_params, target_frames[idx], target_frames[idx + 1],
+                motion_img_size,
+            )
+            ft = jax.lax.stop_gradient(ft)
+            flow_t = jax.lax.stop_gradient(flow_t)
 
         if loss_type == "MotionGram":
             loss = loss + jnp.mean((_motion_gram(ft) - _motion_gram(fg)) ** 2)

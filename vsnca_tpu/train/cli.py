@@ -205,10 +205,31 @@ def main():
 
     logger = MetricsLogger(args.out, config={"preset": args.preset})
 
+    # Target-side features are constant across iterations — extract once
+    # (gradient-identical to the reference's per-iteration no_grad recompute).
+    style_feats = None
+    motion_feats = None
+    if loss_cfg.appearance_weight:
+        from vsnca_tpu.losses.appearance import precompute_target_style_features
+
+        style_feats = precompute_target_style_features(
+            vgg, style, loss_cfg.appearance_loss_type, hw
+        )
+    if loss_cfg.video_motion_weight and msoe is not None:
+        from vsnca_tpu.losses.video_motion import (
+            precompute_target_motion_features,
+        )
+
+        motion_feats = precompute_target_motion_features(
+            msoe, target_video, loss_cfg.motion_img_size
+        )
+
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
     for i in range(train_cfg.max_iterations):
         inputs = {"target_style": style}
+        if style_feats is not None:
+            inputs["target_style_features"] = style_feats
         if target_frames is not None:
             idx = rng.choice(target_frames.shape[0], train_cfg.batch_size,
                              replace=True)
@@ -221,15 +242,18 @@ def main():
             # 3 tapped frames, one per 64 steps (fit_video_motion.py:235)
             n_motion_frames, tap_every = 3, 64
             start = rng.randint(0, max(target_video.shape[0] - 3, 1))
-            inputs["target_motion_frames"] = jnp.stack(
-                [
-                    jnp.broadcast_to(
-                        target_video[start + k],
-                        (train_cfg.batch_size,) + target_video.shape[1:],
-                    )
-                    for k in range(3)
-                ]
-            )
+            if motion_feats is not None:
+                inputs["target_motion_features"] = motion_feats[start : start + 2]
+            else:
+                inputs["target_motion_frames"] = jnp.stack(
+                    [
+                        jnp.broadcast_to(
+                            target_video[start + k],
+                            (train_cfg.batch_size,) + target_video.shape[1:],
+                        )
+                        for k in range(3)
+                    ]
+                )
 
         sync = (i % args.log_every == 0) or (i == train_cfg.max_iterations - 1)
         log = trainer.train_iteration(

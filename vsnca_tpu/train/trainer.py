@@ -57,6 +57,13 @@ def make_train_step(
       aux_imgs     [B,H,W,3]      auxiliary/content frames, in [-1,1]
       aux_gs       [B,H,W,1]      grayscale content (edge cond / extra channel)
       target_motion_frames [T,B,H,W,3]  target video window for video-motion
+      target_style_features             optional precomputed VGG feature list
+                                        for target_style (constant across
+                                        iterations; see
+                                        losses.appearance.precompute_target_style_features)
+      target_motion_features [T-1,h,w,320]  optional precomputed MSOE features
+                                        of the window's consecutive pairs
+                                        (losses.video_motion.precompute_target_motion_features)
     """
     if loss_state.cfg.style_consistency_weight != 0 and loss_state.nca_cfg is None:
         # style-consistency grows a fresh seed with the live params
@@ -168,6 +175,15 @@ def make_train_step(
             if "aux_imgs" in inputs:
                 input_dict["auxillary_image_list"] = [inputs["aux_imgs"]]
                 input_dict["content_image"] = inputs["aux_imgs"]
+            if "target_style_features" in inputs:
+                input_dict["target_style_features"] = inputs[
+                    "target_style_features"
+                ]
+            if n_motion_frames > 0 and "target_motion_features" in inputs:
+                input_dict["target_motion_feature_list"] = [
+                    inputs["target_motion_features"][i]
+                    for i in range(n_motion_frames - 1)
+                ]
             if cfg.style_consistency_weight != 0:
                 # Live params for the fresh-seed grow; the term is
                 # stop_gradient'd inside, matching the reference's no_grad
@@ -439,10 +455,14 @@ class DyNCATrainer:
         """Data-parallel input placement: batch-leading arrays shard over
         the data axis; target_motion_frames is [T, B, ...] (batch on axis
         1); everything else replicates."""
+        if isinstance(v, (list, tuple)):
+            return type(v)(self._place_input(k, e) for e in v)
         if not hasattr(v, "ndim"):
             return v
         if k == "target_motion_frames":
             return jax.device_put(v, self._time_major_sharding)
+        if k == "target_motion_features":  # [T-1, h, w, 320]: pairs, not batch
+            return jax.device_put(v, self._rep_sharding)
         if v.ndim >= 1 and v.shape[0] == self.train_cfg.batch_size:
             return jax.device_put(v, self._batch_sharding)
         return jax.device_put(v, self._rep_sharding)

@@ -44,11 +44,17 @@ class VideoMotionProtocol:
     tap_every: int = 64
     anomaly_appearance_threshold: float = 50.0
     img_name: Optional[str] = None
+    # Precompute target-side features once per video/style (they are
+    # constant across iterations; the reference re-extracts them under
+    # no_grad every iteration — precomputing is gradient-identical).
+    precompute_features: bool = True
 
     def __post_init__(self):
         self._motion_losses: list = []
         self._start_idx = 0
         self._rng = np.random.RandomState(self.train_cfg.seed)
+        self._style_feats = None
+        self._motion_feats = None
 
     def _build_trainer(self, vgg, msoe) -> DyNCATrainer:
         return DyNCATrainer(
@@ -59,22 +65,47 @@ class VideoMotionProtocol:
     def _window_inputs(self, batch: int) -> Dict[str, jnp.ndarray]:
         t = int(self.target_video.shape[0])
         self._start_idx = get_start_frame_idx(self._rng, t, self.n_motion_frames)
-        frames = jnp.stack(
-            [
-                jnp.broadcast_to(
-                    self.target_video[self._start_idx + k],
-                    (batch,) + self.target_video.shape[1:],
-                )
-                for k in range(self.n_motion_frames)
+        inputs = {"target_style": self.appearance_frame}
+        if self._style_feats is not None:
+            inputs["target_style_features"] = self._style_feats
+        if self._motion_feats is not None:
+            s = self._start_idx
+            inputs["target_motion_features"] = self._motion_feats[
+                s : s + self.n_motion_frames - 1
             ]
-        )
-        return {
-            "target_style": self.appearance_frame,
-            "target_motion_frames": frames,
-        }
+        else:
+            inputs["target_motion_frames"] = jnp.stack(
+                [
+                    jnp.broadcast_to(
+                        self.target_video[self._start_idx + k],
+                        (batch,) + self.target_video.shape[1:],
+                    )
+                    for k in range(self.n_motion_frames)
+                ]
+            )
+        return inputs
 
     def run(self, vgg_params, msoe_params, log_every: int = 50, callback=None):
         """Full protocol; returns the final trainer."""
+        if self.precompute_features:
+            from vsnca_tpu.losses.appearance import (
+                precompute_target_style_features,
+            )
+            from vsnca_tpu.losses.video_motion import (
+                precompute_target_motion_features,
+            )
+
+            if self.loss_cfg.appearance_weight:
+                self._style_feats = precompute_target_style_features(
+                    vgg_params, self.appearance_frame,
+                    self.loss_cfg.appearance_loss_type,
+                    self.train_cfg.img_size,
+                )
+            if self.loss_cfg.video_motion_weight and msoe_params is not None:
+                self._motion_feats = precompute_target_motion_features(
+                    msoe_params, self.target_video,
+                    self.loss_cfg.motion_img_size,
+                )
         trainer = self._build_trainer(vgg_params, msoe_params)
 
         # ---- warmup ----
