@@ -153,6 +153,20 @@ def test_rollout_remat_equivalence():
     s2, rgb2 = dynca_rollout(params, x, key, cfg, 10, remat="none")
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb1), np.asarray(to_rgb(s1)), rtol=1e-6)
+    # segment remat: identical PRNG stream (same split order), same values
+    # AND same gradients as per-step remat.
+    s3, _ = dynca_rollout(params, x, key, cfg, 10, remat="segment:5")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
+
+    def obj(p, remat):
+        s, frames = dynca_rollout_with_taps(p, x, key, cfg, 2, 4, remat=remat)
+        return jnp.sum(s**2) + jnp.sum(frames**2)
+
+    g1 = jax.grad(lambda p: obj(p, "per_step"))(params)
+    g2 = jax.grad(lambda p: obj(p, "segment:2"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
 
 
 def test_rollout_with_taps_matches_plain_rollout():

@@ -227,3 +227,96 @@ def test_mat_stencil_rejects_bf16_state():
             fused_rollout_chw(params, x, jnp.int32(0), cfg, 2,
                               interpret=True, algo="mat",
                               state_dtype="bfloat16")
+
+
+@pytest.mark.parametrize(
+    "pad_mode,conditioning,h,w",
+    [
+        ("circular", None, 8, 128),
+        ("circular", "pos_emb", 6, 128),
+        ("circular", "edges", 8, 128),
+        ("replicate", None, 8, 128),
+        ("zeros", None, 8, 128),
+        ("circular", None, 2, 128),   # single-tile band wraps both sides
+    ],
+)
+def test_fused_rollout_flat_matches_scan(pad_mode, conditioning, h, w):
+    """Flat-layout kernel (state [ceil8(C), H*W], all pixels on lanes) vs
+    the scan rollout — exact with deterministic masks across padding modes,
+    conditioning variants, and the one-tile edge case."""
+    from vsnca_tpu.ops.pallas_step import (
+        fused_flat_supported,
+        fused_rollout_flat_chw,
+    )
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode=pad_mode,
+                    update_rate=1.0, conditioning=conditioning)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, cfg.c_in)) - 0.5
+    cond = make_conditioning(
+        cfg, (h, w),
+        cond_img=jax.random.uniform(jax.random.PRNGKey(2), (1, h, w, 1))
+        if conditioning == "edges" else None,
+        batch=1,
+    )
+    assert fused_flat_supported(cfg, h, w)
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(3), cfg, 3,
+                           cond=cond, remat="none")
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_rollout_flat_chw(
+            params,
+            jnp.transpose(x, (0, 3, 1, 2)),
+            jnp.int32(0), cfg, 3,
+            cond=jnp.transpose(cond, (0, 3, 1, 2)) if cond is not None else None,
+            interpret=True,
+        )
+    got = jnp.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_flat_supported_gates():
+    from vsnca_tpu.ops.pallas_step import fused_flat_supported
+
+    c = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
+    assert fused_flat_supported(c, 256, 256)
+    assert not fused_flat_supported(c, 256, 100)  # W % 128
+    assert not fused_flat_supported(c, 512, 512)  # VMEM
+    assert not fused_flat_supported(
+        NCAConfig(c_in=12, fc_dim=96, perception_scales=(0, 1)), 128, 128
+    )
+
+
+@pytest.mark.parametrize("conditioning", [None, "pos_emb"])
+def test_fused_rollout_stream_flat_matches_scan(conditioning):
+    """Flat-layout HBM-streaming kernel (512px-class path) vs the scan
+    rollout — exact with deterministic masks; bands + double-buffered DMA +
+    wrap-row handling exercised at 2 bands."""
+    from vsnca_tpu.ops.pallas_step import (
+        fused_rollout_stream_flat_chw,
+        fused_stream_flat_supported,
+    )
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    update_rate=1.0, conditioning=conditioning)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    h, w = 8, 128
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, cfg.c_in)) - 0.5
+    cond = make_conditioning(cfg, (h, w), batch=1)
+    assert fused_stream_flat_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="circular"), 512, 512
+    )
+    assert not fused_stream_flat_supported(
+        NCAConfig(c_in=12, fc_dim=96, padding_mode="replicate"), 512, 512
+    )
+    ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(3), cfg, 3,
+                           cond=cond, remat="none")
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_rollout_stream_flat_chw(
+            params, jnp.transpose(x, (0, 3, 1, 2)), jnp.int32(0), cfg, 3,
+            cond=jnp.transpose(cond, (0, 3, 1, 2)) if cond is not None else None,
+            interpret=True,
+        )
+    got = jnp.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)

@@ -146,14 +146,46 @@ def dynca_seed(
 
 
 def _scan_rollout(step_fn, x, key, n_steps, remat):
+    """Scan ``n_steps`` of ``x = step_fn(x, sub)`` with a rematerialization
+    policy for BPTT:
+
+    - 'per_step': every step checkpointed — O(1) extra activation memory,
+      backward recomputes each step once (SURVEY.md §5.7).
+    - 'segment:K': blocks of K steps checkpointed — the backward recomputes
+      a block then differentiates it with its intermediates held (O(K)
+      activation memory), which lets XLA fuse across the block.
+    - 'none': the whole rollout's activations are stored.
+    """
     if remat == "per_step":
         step_fn = jax.checkpoint(step_fn)
+
+    block_len = 1
+    if remat.startswith("segment:"):
+        block_len = int(remat.split(":", 1)[1])
+        assert n_steps % block_len == 0, (
+            f"segment remat needs n_steps ({n_steps}) % K ({block_len}) == 0"
+        )
 
     def body(carry, _):
         x, key = carry
         key, sub = jax.random.split(key)
         x = step_fn(x, sub)
         return (x, key), None
+
+    if block_len > 1:
+
+        @jax.checkpoint
+        def block(x, key):
+            (x, key), _ = jax.lax.scan(body, (x, key), None, length=block_len)
+            return x, key
+
+        def outer(carry, _):
+            return block(*carry), None
+
+        (x, key), _ = jax.lax.scan(
+            outer, (x, key), None, length=n_steps // block_len
+        )
+        return x, key
 
     (x, key), _ = jax.lax.scan(body, (x, key), None, length=n_steps)
     return x, key
@@ -207,20 +239,9 @@ def dynca_rollout_with_taps(
     def step_fn(x, sub):
         return dynca_step(params, x, sub, cfg, cond)
 
-    if remat == "per_step":
-        inner = jax.checkpoint(step_fn)
-    else:
-        inner = step_fn
-
     def segment(carry, _):
         x, key = carry
-
-        def body(c, _):
-            x, key = c
-            key, sub = jax.random.split(key)
-            return (inner(x, sub), key), None
-
-        (x, key), _ = jax.lax.scan(body, (x, key), None, length=steps_per_segment)
+        x, key = _scan_rollout(step_fn, x, key, steps_per_segment, remat)
         return (x, key), to_rgb(x, cfg.c_out)
 
     (x, _), frames = jax.lax.scan(segment, (x, key), None, length=n_segments)

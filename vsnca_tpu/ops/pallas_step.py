@@ -1057,6 +1057,575 @@ def fused_rollout_stream_chw(
     return out
 
 
+# ------------------------------------------------------------------------
+# Flat-layout kernel: state as [C_pad, H*W] with ALL pixels on the lane
+# axis. Rationale (layout analysis of the 'roll' kernel):
+#   - the [C, tile_h, W] -> [4C+cc, tile_h*W] percept flatten is a
+#     sublane->lane relayout Mosaic must materialize every tile, every step;
+#   - the H-neighbor taps band[:, di:di+th, :] are sublane-MISALIGNED views
+#     (di = 0..2) that each force a shifted relayout.
+# In flat layout both disappear: H-neighbor taps become lane-tile-aligned
+# views (row offsets are multiples of W, and W % 128 == 0), the percept is
+# BORN flat and sublane-aligned (C padded to a multiple of 8), and the only
+# lane shuffles left are the two +/-1 W-neighbor rolls plus two ALIGNED
+# correction rolls for the row-boundary columns. Channels pad C -> ceil8(C)
+# (zero rows/cols in w1/w2 keep pad channels exactly zero).
+# ------------------------------------------------------------------------
+
+
+def _pick_tile_rows(h: int, w: int, target_n: int = 4096) -> int:
+    """Largest divisor of H whose row-tile pixel count fits the MXU-friendly
+    flat-tile budget. No sublane alignment needed: rows live on lanes."""
+    best = 1
+    for tr in range(1, h + 1):
+        if h % tr == 0 and tr * w <= target_n:
+            best = tr
+    return best
+
+
+def _draw_mask_flat(n: int, thr: int):
+    bits = pltpu.prng_random_bits((1, n))
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    return (u24 >= jnp.uint32(thr)).astype(jnp.float32)
+
+
+def _flat_tile_update(
+    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
+    cp, f, n, w, thr, pad_mode, compute_dtype, is_col0, is_colw1,
+):
+    """One fused NCA step on a flat band [cp, n + 2w] (1-row halos): taps ->
+    stencils -> MLP -> stochastic residual. Returns the new center [cp, n].
+
+    W-neighbors are +/-1 lane rolls; the row-boundary columns get ALIGNED
+    correction rolls (offsets are multiples of W, and W % 128 == 0). All
+    H-neighbor taps are lane-tile-aligned views — no relayouts."""
+    band_len = n + 2 * w
+    left = pltpu.roll(band, 1, axis=1)
+    right = pltpu.roll(band, band_len - 1, axis=1)
+    if pad_mode == "circular":
+        lfix = pltpu.roll(left, band_len - w, axis=1)
+        rfix = pltpu.roll(right, w, axis=1)
+    elif pad_mode == "replicate":
+        lfix = band
+        rfix = band
+    else:
+        lfix = jnp.zeros_like(band)
+        rfix = lfix
+    left = jnp.where(is_col0, lfix, left)
+    right = jnp.where(is_colw1, rfix, right)
+
+    def nb(di, dj):
+        arr = (left, band, right)[dj]
+        return arr[:, di * w : di * w + n]
+
+    center = band[:, w : w + n]
+    parts = [
+        center,
+        _stencil_from(nb, SOBEL_X),
+        _stencil_from(nb, SOBEL_Y),
+        _stencil_from(nb, LAPLACIAN),
+    ]
+    if cond_tile is not None:
+        parts.append(cond_tile)
+    percept = jnp.concatenate(parts, axis=0).astype(compute_dtype)
+
+    hid = jnp.maximum(
+        jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+        + b1_ref[:].reshape(f, 1),
+        0.0,
+    ).astype(compute_dtype)
+    dx = (
+        jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+        + b2_ref[:].reshape(cp, 1)
+    )
+    mask = _draw_mask_flat(n, thr)
+    return center + dx * mask
+
+
+def _make_kernel_flat(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    update_rate: float,
+    compute_dtype=jnp.float32,
+):
+    f = cfg.fc_dim
+    thr = _uniform_threshold(update_rate)
+    n_tiles = h // tile_rows
+    n = tile_rows * w  # flat tile length
+    band_len = n + 2 * w
+    hw = h * w
+    pad_mode = cfg.padding_mode
+    has_cond = ccp > 0
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            cond_ref, out_ref, alt_ref, dma_sem = rest
+        else:
+            out_ref, alt_ref, dma_sem = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + bidx)
+
+        load = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[0], dma_sem)
+        load.start()
+        load.wait()
+
+        # Row-boundary column masks, constant across tiles/steps.
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, band_len), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+
+        def band_of(src, t):
+            """[cp, band_len] = rows [t*tr - 1, (t+1)*tr + 1) flat, with the
+            H boundary rows resolved by the padding mode. Interior tiles are
+            pure aligned views."""
+            o = t * n
+            parts = []
+            if t == 0:
+                if pad_mode == "circular":
+                    parts.append(src[0, :, hw - w : hw])
+                elif pad_mode == "replicate":
+                    parts.append(src[0, :, 0:w])
+                else:
+                    parts.append(jnp.zeros((cp, w), src.dtype))
+                lo = 0
+            else:
+                lo = o - w
+            hi = o + n + w
+            if t == n_tiles - 1:
+                parts.append(src[0, :, lo:hw])
+                if pad_mode == "circular":
+                    parts.append(src[0, :, 0:w])
+                elif pad_mode == "replicate":
+                    parts.append(src[0, :, hw - w : hw])
+                else:
+                    parts.append(jnp.zeros((cp, w), src.dtype))
+            else:
+                parts.append(src[0, :, lo:hi])
+            if len(parts) == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=1)
+
+        def run_step(src, dst):
+            for t in range(n_tiles):
+                o = t * n
+                band = band_of(src, t)
+                cond_tile = (
+                    cond_ref[0, :, o : o + n] if cond_ref is not None else None
+                )
+                dst[0, :, o : o + n] = _flat_tile_update(
+                    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                    cp, f, n, w, thr, pad_mode, compute_dtype,
+                    is_col0, is_colw1,
+                )
+
+        def one_step(i, carry):
+            @pl.when(i % 2 == 0)
+            def _():
+                run_step(out_ref, alt_ref)
+
+            @pl.when(i % 2 == 1)
+            def _():
+                run_step(alt_ref, out_ref)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            out_ref[:] = alt_ref[:]
+
+    return kernel
+
+
+def _round8(x: int) -> int:
+    return _round_up(x, 8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "update_rate", "interpret",
+                     "compute_dtype"),
+)
+def fused_rollout_flat_chw(
+    params: dict,
+    x: jnp.ndarray,
+    seed: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Flat-layout fused rollout: same contract as ``fused_rollout_chw``
+    (x [B, C, H, W] f32 -> [B, C, H, W]), perception_scales (0,) only.
+    The state lives in VMEM as [ceil8(C), H*W] for the whole rollout."""
+    assert tuple(cfg.perception_scales) == (0,)
+    b, c, h, w = x.shape
+    assert c == cfg.c_in and w % _LANE == 0
+    rate = cfg.update_rate if update_rate is None else update_rate
+    cdt = jnp.dtype(compute_dtype)
+    cp = _round8(c)
+    cc = cfg.c_cond if cond is not None else 0
+    ccp = _round8(cc) if cc else 0
+    p_dim = 4 * cp + ccp
+    hw = h * w
+    tile_rows = _pick_tile_rows(h, w)
+    n = tile_rows * w
+
+    xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
+
+    # w1 rows rearranged into Cp-padded filter blocks (+ ccp-padded cond).
+    w1 = params["w1"]
+    blocks = [
+        jnp.pad(w1[k * c : (k + 1) * c], ((0, cp - c), (0, 0)))
+        for k in range(4)
+    ]
+    if cc:
+        blocks.append(jnp.pad(w1[4 * c :], ((0, ccp - cc), (0, 0))))
+    w1t = jnp.concatenate(blocks, axis=0).T.astype(cdt)  # [F, P]
+    b1 = params["b1"].astype(jnp.float32)
+    w2t = jnp.pad(params["w2"], ((0, 0), (0, cp - c))).T.astype(cdt)  # [cp, F]
+    b2 = jnp.pad(params["b2"], (0, cp - c)).astype(jnp.float32)
+
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), xf, w1t, b1, w2t, b2]
+    if cc:
+        cf = jnp.pad(cond, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))).reshape(
+            b, ccp, hw
+        )
+        in_specs.append(
+            pl.BlockSpec((1, ccp, hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(cf.astype(jnp.float32))
+
+    flops_step = 2 * hw * (p_dim * cfg.fc_dim + cfg.fc_dim * cp)
+    out = pl.pallas_call(
+        _make_kernel_flat(cfg, h, w, n_steps, tile_rows, cp, ccp, rate, cdt),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cp, hw), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, cp, hw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=2 * b * cp * hw * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, cp, h, w)[:, :c]
+
+
+def _make_kernel_stream_flat(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    band_h: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    update_rate: float,
+    compute_dtype=jnp.float32,
+):
+    """HBM-streaming flat-layout rollout: bands of ``band_h`` rows stream
+    through VMEM as [cp, (band_h + 2) * W] lane ranges with double-buffered
+    DMA, the flat tile update runs per ``tile_rows`` sub-tile, and the state
+    ping-pongs between two HBM buffers. Circular padding only: the H wrap
+    rows ride as one extra W-lane DMA on the boundary bands (lane-range DMA
+    slices carry none of the 8-sublane-row constraints of the [C, H, W]
+    streaming kernel)."""
+    f = cfg.fc_dim
+    thr = _uniform_threshold(update_rate)
+    n_bands = h // band_h
+    n_tiles = band_h // tile_rows
+    n = tile_rows * w
+    hw = h * w
+    bw = band_h * w
+    assert cfg.padding_mode == "circular"
+    has_cond = ccp > 0
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            (cond_ref, out_ref, tmp_ref, band_in, band_out,
+             load_sem, store_sem, copy_sem) = rest
+        else:
+            (out_ref, tmp_ref, band_in, band_out,
+             load_sem, store_sem, copy_sem) = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + bidx)
+
+        init = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[bidx], copy_sem)
+        init.start()
+        init.wait()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+
+        def start_load(src, b, slot):
+            """DMA band b's rows + 1-row halos into band_in[slot] =
+            [cp, (band_h + 2) * w]. Waits must reuse these exact started
+            descriptors (DMA semaphores count bytes)."""
+            o = b * bw
+            dmas = []
+            if 0 < b < n_bands - 1:
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(o - w, bw + 2 * w)],
+                    band_in.at[slot], load_sem.at[slot],
+                ))
+            elif b == 0:  # top halo wraps to the last row
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(hw - w, w)],
+                    band_in.at[slot, :, 0:w], load_sem.at[slot],
+                ))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(0, bw + w)],
+                    band_in.at[slot, :, w : bw + 2 * w], load_sem.at[slot],
+                ))
+            else:  # last band: bottom halo wraps to row 0
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(o - w, bw + w)],
+                    band_in.at[slot, :, 0 : bw + w], load_sem.at[slot],
+                ))
+                dmas.append(pltpu.make_async_copy(
+                    src.at[:, pl.ds(0, w)],
+                    band_in.at[slot, :, bw + w : bw + 2 * w],
+                    load_sem.at[slot],
+                ))
+            for d in dmas:
+                d.start()
+            return dmas
+
+        def compute_band(b, slot):
+            for t in range(n_tiles):
+                t0 = t * n  # lane offset of the tile within the band
+                band = band_in[slot, :, t0 : t0 + n + 2 * w]
+                cond_tile = (
+                    cond_ref[0, :, b * bw + t0 : b * bw + t0 + n]
+                    if cond_ref is not None else None
+                )
+                band_out[slot, :, t0 : t0 + n] = _flat_tile_update(
+                    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                    cp, f, n, w, thr, "circular", compute_dtype,
+                    is_col0, is_colw1,
+                )
+
+        def store_band(dst, b, slot):
+            dma = pltpu.make_async_copy(
+                band_out.at[slot],
+                dst.at[:, pl.ds(b * bw, bw)],
+                store_sem.at[slot],
+            )
+            dma.start()
+            return dma
+
+        def run_step(src, dst):
+            loads = [None, None]
+            stores = [None, None]
+            loads[0] = start_load(src, 0, 0)
+            for b in range(n_bands):
+                slot = b % 2
+                if b + 1 < n_bands:
+                    loads[1 - slot] = start_load(src, b + 1, 1 - slot)
+                for d in loads[slot]:
+                    d.wait()
+                if stores[slot] is not None:
+                    stores[slot].wait()
+                compute_band(b, slot)
+                stores[slot] = store_band(dst, b, slot)
+            for st in stores:
+                if st is not None:
+                    st.wait()
+
+        def one_step(i, carry):
+            @pl.when(i % 2 == 0)
+            def _():
+                run_step(out_ref.at[bidx], tmp_ref.at[0])
+
+            @pl.when(i % 2 == 1)
+            def _():
+                run_step(tmp_ref.at[0], out_ref.at[bidx])
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            fin = pltpu.make_async_copy(
+                tmp_ref.at[0], out_ref.at[bidx], copy_sem
+            )
+            fin.start()
+            fin.wait()
+
+    return kernel
+
+
+def _pick_band_rows_flat(h: int, w: int, cp: int,
+                         budget_bytes: int = 8 * 2**20) -> int:
+    """Largest divisor of H (<= H/2: >= 2 bands so a band's halos never both
+    wrap) whose double-buffered flat band buffers fit the budget."""
+    best = 1
+    row_bytes = cp * w * 4
+    for bh in range(1, h // 2 + 1):
+        if h % bh == 0 and (4 * bh + 4) * row_bytes <= budget_bytes:
+            best = bh
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "update_rate", "interpret",
+                     "compute_dtype"),
+)
+def fused_rollout_stream_flat_chw(
+    params: dict,
+    x: jnp.ndarray,
+    seed: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond: Optional[jnp.ndarray] = None,
+    update_rate: Optional[float] = None,
+    interpret: bool = False,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Flat-layout HBM-streaming fused rollout for grids past the
+    VMEM-resident cap (512^2+). Same contract as ``fused_rollout_chw``;
+    circular padding + perception_scales (0,) only."""
+    assert tuple(cfg.perception_scales) == (0,)
+    assert cfg.padding_mode == "circular", "streaming kernel is circular-only"
+    b, c, h, w = x.shape
+    assert c == cfg.c_in and w % _LANE == 0
+    rate = cfg.update_rate if update_rate is None else update_rate
+    cdt = jnp.dtype(compute_dtype)
+    cp = _round8(c)
+    cc = cfg.c_cond if cond is not None else 0
+    ccp = _round8(cc) if cc else 0
+    p_dim = 4 * cp + ccp
+    hw = h * w
+    band_h = _pick_band_rows_flat(h, w, cp)
+    tile_rows = _pick_tile_rows(band_h, w)
+    assert h % band_h == 0 and band_h % tile_rows == 0
+    assert h // band_h >= 2, "streaming kernel needs >= 2 bands"
+
+    xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
+    w1 = params["w1"]
+    blocks = [
+        jnp.pad(w1[k * c : (k + 1) * c], ((0, cp - c), (0, 0)))
+        for k in range(4)
+    ]
+    if cc:
+        blocks.append(jnp.pad(w1[4 * c :], ((0, ccp - cc), (0, 0))))
+    w1t = jnp.concatenate(blocks, axis=0).T.astype(cdt)
+    b1 = params["b1"].astype(jnp.float32)
+    w2t = jnp.pad(params["w2"], ((0, 0), (0, cp - c))).T.astype(cdt)
+    b2 = jnp.pad(params["b2"], (0, cp - c)).astype(jnp.float32)
+
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [jnp.asarray(seed, jnp.int32).reshape(1), xf, w1t, b1, w2t, b2]
+    if cc:
+        cf = jnp.pad(cond, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))).reshape(
+            b, ccp, hw
+        )
+        in_specs.append(
+            pl.BlockSpec((1, ccp, hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(cf.astype(jnp.float32))
+
+    flops_step = 2 * hw * (p_dim * cfg.fc_dim + cfg.fc_dim * cp)
+    # The ping-pong partner is a second ANY-space OUTPUT (no HBM scratch in
+    # Mosaic); discarded by the wrapper.
+    out, _ = pl.pallas_call(
+        _make_kernel_stream_flat(
+            cfg, h, w, n_steps, band_h, tile_rows, cp, ccp, rate, cdt
+        ),
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp, hw), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, cp, (band_h + 2) * w), jnp.float32),
+            pltpu.VMEM((2, cp, band_h * w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=2 * b * n_steps * cp * hw * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, cp, h, w)[:, :c]
+
+
+def fused_stream_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
+    """True when the flat-layout streaming kernel applies (big circular
+    grids, single-scale perception)."""
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    if cfg.padding_mode != "circular" or w % _LANE != 0:
+        return False
+    cp = _round8(cfg.c_in)
+    band_h = _pick_band_rows_flat(h, w, cp)
+    return h % band_h == 0 and h > band_h
+
+
+def fused_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
+    """True when the flat-layout VMEM-resident kernel applies."""
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    if w % _LANE != 0:
+        return False
+    cp = _round8(cfg.c_in)
+    hw = h * w
+    tile_rows = _pick_tile_rows(h, w)
+    n = tile_rows * w
+    est = (
+        2 * cp * hw * 4  # double-buffered state
+        + (4 * cp + 8) * n * 4 * 2  # percept (+ band temporaries headroom)
+        + cfg.fc_dim * n * 4  # hidden
+    )
+    return h % tile_rows == 0 and est < 13 * 2**20
+
+
 def fused_stream_supported(cfg: NCAConfig, h: int, w: int) -> bool:
     """True when the HBM-streaming kernel applies (big circular grids)."""
     if tuple(cfg.perception_scales) != (0,):
