@@ -123,3 +123,82 @@ def test_fused_train_inside_value_and_grad_trainer_shape():
         for g in jax.tree_util.tree_leaves(grads)
     )
     assert state.shape == x.shape
+
+
+# ---------------------------------------------------------------- flat pair
+
+
+def test_fused_train_flat_forward_matches_scan():
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 128, 12)) - 0.5
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = dynca_rollout(params, x, jax.random.PRNGKey(2), cfg, 8,
+                               remat="none")
+        got, _ = fused_rollout_train_flat(params, x, 3.0, cfg, 8,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_train_flat_grads_match_scan_multisegment_cond():
+    """Flat-layout VJP pair, 8 steps -> 2 segments of 4 (pick caps at the
+    VMEM estimate): reverse segment walk, checkpoint reload, in-kernel
+    recompute with regenerated masks, flat adjoint stencil, conditioning
+    cotangent, and padded-weight-gradient un-padding."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        fused_train_flat_supported,
+        pick_segment_flat,
+    )
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 128, 12)) - 0.5
+    cond = make_conditioning(cfg, (8, 128), batch=1)
+    assert fused_train_flat_supported(cfg, 8, 128, 8)
+    assert pick_segment_flat(cfg, 8, 128, 8) in (2, 4, 8)
+
+    def lf(p, x, c):
+        s, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 8, cond_nhwc=c,
+                                          interpret=True)
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    def ls(p, x, c):
+        s, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8, cond=c,
+                               remat="none")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(lf, argnums=(0, 1, 2))(params, x, cond)
+        gs = jax.grad(ls, argnums=(0, 1, 2))(params, x, cond)
+    _grads_match(gf, gs)
+
+
+def test_fused_train_flat_grads_batch_edges():
+    """Edge conditioning (ccp pad 3 -> 8) + batch > 1."""
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    conditioning="edges", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 128, 12)) - 0.5
+    gray = jax.random.uniform(jax.random.PRNGKey(3), (2, 8, 128, 1))
+    cond = make_conditioning(cfg, (8, 128), cond_img=gray, batch=2)
+
+    def lf(p):
+        _, rgb = fused_rollout_train_flat(p, x, 11.0, cfg, 4, cond_nhwc=cond,
+                                          interpret=True)
+        return jnp.mean(rgb ** 2)
+
+    def ls(p):
+        _, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 4,
+                               cond=cond, remat="none")
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))

@@ -1091,16 +1091,11 @@ def _draw_mask_flat(n: int, thr: int):
     return (u24 >= jnp.uint32(thr)).astype(jnp.float32)
 
 
-def _flat_tile_update(
-    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
-    cp, f, n, w, thr, pad_mode, compute_dtype, is_col0, is_colw1,
-):
-    """One fused NCA step on a flat band [cp, n + 2w] (1-row halos): taps ->
-    stencils -> MLP -> stochastic residual. Returns the new center [cp, n].
+def _flat_neighbors(band, n, w, pad_mode, is_col0, is_colw1):
+    """(left, band, right) lane-rolled views of a flat band [*, n + 2w].
 
     W-neighbors are +/-1 lane rolls; the row-boundary columns get ALIGNED
-    correction rolls (offsets are multiples of W, and W % 128 == 0). All
-    H-neighbor taps are lane-tile-aligned views — no relayouts."""
+    correction rolls (offsets are multiples of W, and W % 128 == 0)."""
     band_len = n + 2 * w
     left = pltpu.roll(band, 1, axis=1)
     right = pltpu.roll(band, band_len - 1, axis=1)
@@ -1115,6 +1110,18 @@ def _flat_tile_update(
         rfix = lfix
     left = jnp.where(is_col0, lfix, left)
     right = jnp.where(is_colw1, rfix, right)
+    return left, band, right
+
+
+def _flat_percept(band, cond_tile, n, w, pad_mode, compute_dtype,
+                  is_col0, is_colw1):
+    """(center [cp, n], percept [P, n]) from a flat band [cp, n + 2w].
+
+    All H-neighbor taps are lane-tile-aligned views (row offsets are
+    multiples of W) and the percept is born flat and sublane-aligned — no
+    relayouts anywhere."""
+    left, band, right = _flat_neighbors(band, n, w, pad_mode, is_col0,
+                                        is_colw1)
 
     def nb(di, dj):
         arr = (left, band, right)[dj]
@@ -1130,7 +1137,18 @@ def _flat_tile_update(
     if cond_tile is not None:
         parts.append(cond_tile)
     percept = jnp.concatenate(parts, axis=0).astype(compute_dtype)
+    return center, percept
 
+
+def _flat_tile_update(
+    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
+    cp, f, n, w, thr, pad_mode, compute_dtype, is_col0, is_colw1,
+):
+    """One fused NCA step on a flat band [cp, n + 2w] (1-row halos): taps ->
+    stencils -> MLP -> stochastic residual. Returns the new center [cp, n]."""
+    center, percept = _flat_percept(
+        band, cond_tile, n, w, pad_mode, compute_dtype, is_col0, is_colw1
+    )
     hid = jnp.maximum(
         jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
         + b1_ref[:].reshape(f, 1),
@@ -1249,6 +1267,26 @@ def _round8(x: int) -> int:
     return _round_up(x, 8)
 
 
+def _flat_pad_weights(params: dict, c: int, cp: int, cc: int, ccp: int,
+                      compute_dtype):
+    """(w1t [F, P], b1, w2t [cp, F], b2) with the filter blocks of w1 padded
+    C -> cp (and cond cc -> ccp) by zero rows, w2/b2 padded by zero columns —
+    pad channels stay exactly zero through the update."""
+    cdt = jnp.dtype(compute_dtype)
+    w1 = params["w1"]
+    blocks = [
+        jnp.pad(w1[k * c : (k + 1) * c], ((0, cp - c), (0, 0)))
+        for k in range(4)
+    ]
+    if cc:
+        blocks.append(jnp.pad(w1[4 * c :], ((0, ccp - cc), (0, 0))))
+    w1t = jnp.concatenate(blocks, axis=0).T.astype(cdt)
+    b1 = params["b1"].astype(jnp.float32)
+    w2t = jnp.pad(params["w2"], ((0, 0), (0, cp - c))).T.astype(cdt)
+    b2 = jnp.pad(params["b2"], (0, cp - c)).astype(jnp.float32)
+    return w1t, b1, w2t, b2
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "update_rate", "interpret",
@@ -1282,19 +1320,7 @@ def fused_rollout_flat_chw(
     n = tile_rows * w
 
     xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
-
-    # w1 rows rearranged into Cp-padded filter blocks (+ ccp-padded cond).
-    w1 = params["w1"]
-    blocks = [
-        jnp.pad(w1[k * c : (k + 1) * c], ((0, cp - c), (0, 0)))
-        for k in range(4)
-    ]
-    if cc:
-        blocks.append(jnp.pad(w1[4 * c :], ((0, ccp - cc), (0, 0))))
-    w1t = jnp.concatenate(blocks, axis=0).T.astype(cdt)  # [F, P]
-    b1 = params["b1"].astype(jnp.float32)
-    w2t = jnp.pad(params["w2"], ((0, 0), (0, cp - c))).T.astype(cdt)  # [cp, F]
-    b2 = jnp.pad(params["b2"], (0, cp - c)).astype(jnp.float32)
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, cdt)
 
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -1531,17 +1557,7 @@ def fused_rollout_stream_flat_chw(
     assert h // band_h >= 2, "streaming kernel needs >= 2 bands"
 
     xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
-    w1 = params["w1"]
-    blocks = [
-        jnp.pad(w1[k * c : (k + 1) * c], ((0, cp - c), (0, 0)))
-        for k in range(4)
-    ]
-    if cc:
-        blocks.append(jnp.pad(w1[4 * c :], ((0, ccp - cc), (0, 0))))
-    w1t = jnp.concatenate(blocks, axis=0).T.astype(cdt)
-    b1 = params["b1"].astype(jnp.float32)
-    w2t = jnp.pad(params["w2"], ((0, 0), (0, cp - c))).T.astype(cdt)
-    b2 = jnp.pad(params["b2"], (0, cp - c)).astype(jnp.float32)
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, cdt)
 
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM

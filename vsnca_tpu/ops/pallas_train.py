@@ -45,8 +45,15 @@ from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
 from vsnca_tpu.ops.pallas_step import (
     _LANE,
     _draw_mask,
+    _draw_mask_flat,
+    _flat_neighbors,
+    _flat_pad_weights,
+    _flat_percept,
+    _flat_tile_update,
     _mlp_dx,
     _pick_tile_h,
+    _pick_tile_rows,
+    _round8,
     _round_up,
     _stencil_from,
     _uniform_threshold,
@@ -623,6 +630,592 @@ def _train_bwd(cfg, n_steps, segment, compute_dtype, interpret, res, gy):
 
 
 fused_rollout_train_chw.defvjp(_train_fwd, _train_bwd)
+
+
+# ==========================================================================
+# Flat-layout custom-VJP kernel pair: the [ceil8(C), H*W] layout of
+# pallas_step's flat rollout (all pixels on lanes — no percept relayouts, no
+# misaligned sublane slices; measured 1.67x over the [C, H, W] kernels on
+# the forward at 256^2) applied to the differentiable training rollout.
+# Same segment-checkpoint + remat-in-kernel scheme as the CHW pair above;
+# masks are regenerated from the per-step seeds instead of stored (the
+# backward walks tiles in the same order as the forward).
+# ==========================================================================
+
+
+def _make_fwd_kernel_flat(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    compute_dtype,
+):
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    hw = h * w
+    assert cfg.padding_mode == "circular"
+    has_cond = ccp > 0
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            cond_ref, out_ref, ckpt_ref, alt_ref, dma_sem = rest
+        else:
+            out_ref, ckpt_ref, alt_ref, dma_sem = rest
+            cond_ref = None
+
+        bidx = pl.program_id(0)
+        load = pltpu.make_async_copy(x_ref.at[bidx], out_ref.at[0], dma_sem)
+        load.start()
+        load.wait()
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+
+        def band_of(src, t):
+            o = t * n
+            parts = []
+            lo = o - w
+            if t == 0:
+                parts.append(src[0, :, hw - w : hw])
+                lo = 0
+            if t == n_tiles - 1:
+                parts.append(src[0, :, lo:hw])
+                parts.append(src[0, :, 0:w])
+            else:
+                parts.append(src[0, :, lo : o + n + w])
+            if len(parts) == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=1)
+
+        def run_step(src, dst):
+            for t in range(n_tiles):
+                o = t * n
+                cond_tile = (
+                    cond_ref[0, :, o : o + n] if cond_ref is not None else None
+                )
+                dst[0, :, o : o + n] = _flat_tile_update(
+                    band_of(src, t), cond_tile,
+                    w1t_ref, b1_ref, w2t_ref, b2_ref,
+                    cp, f, n, w, thr, "circular", compute_dtype,
+                    is_col0, is_colw1,
+                )
+
+        def ckpt_store(src, i):
+            dma = pltpu.make_async_copy(
+                src.at[0], ckpt_ref.at[bidx, i // segment], dma_sem
+            )
+            dma.start()
+            dma.wait()
+
+        def one_step(i, carry):
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, i))
+
+            @pl.when(i % 2 == 0)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(out_ref, i)
+
+                run_step(out_ref, alt_ref)
+
+            @pl.when(i % 2 == 1)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(alt_ref, i)
+
+                run_step(alt_ref, out_ref)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            out_ref[:] = alt_ref[:]
+
+    return kernel
+
+
+def _make_bwd_kernel_flat(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    compute_dtype,
+):
+    c = cfg.c_in
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    n_segments = n_steps // segment
+    hw = h * w
+    p_dim = 4 * cp + ccp
+    assert cfg.padding_mode == "circular"
+    has_cond = ccp > 0
+
+    dn_nn = (((1,), (1,)), ((), ()))  # contract the pixel axis
+
+    def kernel(
+        seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+        w1_ref, w2_ref, *rest,
+    ):
+        if has_cond:
+            (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             dcond_ref, states_ref, gx_ref, gp_ref, dma_sem) = rest
+        else:
+            (dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, gx_ref, gp_ref, dma_sem) = rest
+            cond_ref = dcond_ref = None
+
+        bidx = pl.program_id(0)
+
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        if dcond_ref is not None:
+            dcond_ref[:] = jnp.zeros_like(dcond_ref)
+        gx_ref[:] = g_ref[0]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+
+        def band_of(buf_slice, t):
+            """Flat circular band [*, n + 2w] over a [*, hw] value-slice fn."""
+            o = t * n
+            parts = []
+            lo = o - w
+            if t == 0:
+                parts.append(buf_slice(hw - w, hw))
+                lo = 0
+            if t == n_tiles - 1:
+                parts.append(buf_slice(lo, hw))
+                parts.append(buf_slice(0, w))
+            else:
+                parts.append(buf_slice(lo, o + n + w))
+            if len(parts) == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=1)
+
+        def tile_percept(src_k, t):
+            band = band_of(lambda a, b: states_ref[src_k, :, a:b], t)
+            o = t * n
+            cond_tile = (
+                cond_ref[0, :, o : o + n] if cond_ref is not None else None
+            )
+            return _flat_percept(
+                band, cond_tile, n, w, "circular", compute_dtype,
+                is_col0, is_colw1,
+            )
+
+        def recompute_segment(s):
+            """states[k] = x_{sK+k}; masks regenerate from the per-step
+            seeds (same tile order as the forward — bit-exact replay)."""
+
+            def one_k(k, carry):
+                pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+                for t in range(n_tiles):
+                    o = t * n
+                    center, percept = tile_percept(k, t)
+                    mask = _draw_mask_flat(n, thr)
+
+                    @pl.when(k < segment - 1)
+                    def _():
+                        hid = jnp.maximum(
+                            jnp.dot(w1t_ref[:], percept,
+                                    preferred_element_type=jnp.float32)
+                            + b1_ref[:].reshape(f, 1),
+                            0.0,
+                        ).astype(compute_dtype)
+                        dx = (
+                            jnp.dot(w2t_ref[:], hid,
+                                    preferred_element_type=jnp.float32)
+                            + b2_ref[:].reshape(cp, 1)
+                        )
+                        states_ref[k + 1, :, o : o + n] = center + dx * mask
+
+                return carry
+
+            jax.lax.fori_loop(0, segment, one_k, 0)
+
+        def backward_step(s, k):
+            # pass 1: MLP cotangents + param grads + perception cotangent gp
+            # (masks regenerated: same seed, same tile order as the forward)
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+            for t in range(n_tiles):
+                o = t * n
+                _, percept = tile_percept(k, t)
+                mask = _draw_mask_flat(n, thr)
+                z1 = (
+                    jnp.dot(w1t_ref[:], percept,
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1)
+                )
+                hid = jnp.maximum(z1, 0.0).astype(compute_dtype)
+                gdx = (gx_ref[:, o : o + n] * mask).astype(compute_dtype)
+                gz1 = jnp.where(
+                    z1 > 0.0,
+                    jnp.dot(w2_ref[:], gdx, preferred_element_type=jnp.float32),
+                    0.0,
+                ).astype(compute_dtype)
+                gp = jax.lax.dot_general(
+                    w1_ref[:], gz1,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P, n]
+                gp_ref[:, o : o + n] = gp[: 4 * cp]
+                if dcond_ref is not None:
+                    dcond_ref[0, :, o : o + n] += gp[4 * cp :]
+                dw1t_ref[0] += jax.lax.dot_general(
+                    gz1, percept, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
+                dw2t_ref[0] += jax.lax.dot_general(
+                    gdx, hid, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
+
+            # pass 2: adjoint perception stencil (flipped filters, circular)
+            for t in range(n_tiles):
+                o = t * n
+                band4 = band_of(lambda a, b: gp_ref[:, a:b], t)
+                left4, band4, right4 = _flat_neighbors(
+                    band4, n, w, "circular", is_col0, is_colw1
+                )
+
+                def nb_g(g):
+                    def nb(di, dj):
+                        arr = (left4, band4, right4)[dj]
+                        return arr[g * cp : (g + 1) * cp,
+                                   di * w : di * w + n]
+
+                    return nb
+
+                adj = (
+                    band4[0:cp, w : w + n]
+                    + _stencil_from(nb_g(1), SOBEL_X_F)
+                    + _stencil_from(nb_g(2), SOBEL_Y_F)
+                    + _stencil_from(nb_g(3), LAPLACIAN_F)
+                )
+                gx_ref[:, o : o + n] += adj
+
+        def per_segment(si, carry):
+            s = n_segments - 1 - si
+            load = pltpu.make_async_copy(
+                ckpt_ref.at[bidx, s], states_ref.at[0], dma_sem
+            )
+            load.start()
+            load.wait()
+            recompute_segment(s)
+            jax.lax.fori_loop(
+                0, segment,
+                lambda ki, cc_: backward_step(s, segment - 1 - ki) or cc_, 0,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n_segments, per_segment, 0)
+        dx0_ref[0] = gx_ref[:]
+
+    return kernel
+
+
+def bwd_flat_vmem_bytes_estimate(
+    cp: int, hw: int, fc_dim: int, ccp: int, segment: int, n: int
+) -> int:
+    buf = 4 * (
+        segment * cp * hw      # states
+        + cp * hw              # gx
+        + 4 * cp * hw          # gp
+        + cp * hw              # dx0 / g blocks
+        + (ccp * hw if ccp else 0)
+    )
+    tiles = 4 * n * (
+        (4 * cp + ccp) * 3     # percept + neighbor bands headroom
+        + 3 * fc_dim           # z1, hid, gz1
+        + 2 * cp               # gdx, adj
+    )
+    return buf + tiles
+
+
+def pick_segment_flat(cfg: NCAConfig, h: int, w: int,
+                      n_steps: int) -> Optional[int]:
+    cp = _round8(cfg.c_in)
+    ccp = _round8(cfg.c_cond) if cfg.conditioning else 0
+    tile_rows = _pick_tile_rows(h, w)
+    if h % tile_rows != 0:
+        return None
+    n = tile_rows * w
+    for k in (16, 8, 4, 2):
+        if n_steps % k:
+            continue
+        if bwd_flat_vmem_bytes_estimate(
+                cp, h * w, cfg.fc_dim, ccp, k, n) < 12 * 2**20:
+            return k
+    return None
+
+
+def fused_train_flat_supported(cfg: NCAConfig, h: int, w: int,
+                               n_steps: int) -> bool:
+    """True when the flat-layout custom-VJP rollout applies."""
+    if cfg.padding_mode != "circular":
+        return False
+    if tuple(cfg.perception_scales) != (0,):
+        return False
+    if w % _LANE != 0:
+        return False
+    return pick_segment_flat(cfg, h, w, n_steps) is not None
+
+
+def _flat_shapes(cfg: NCAConfig, has_cond: bool):
+    c = cfg.c_in
+    cp = _round8(c)
+    cc = cfg.c_cond if has_cond else 0
+    ccp = _round8(cc) if cc else 0
+    return c, cp, cc, ccp
+
+
+def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
+                   compute_dtype, interpret, h, w):
+    b, cp, hw = xf.shape
+    c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
+    tile_rows = _pick_tile_rows(h, w)
+    n_segments = n_steps // segment
+    kernel = _make_fwd_kernel_flat(
+        cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
+        jnp.dtype(compute_dtype),
+    )
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [seed_i32.reshape(1), xf, w1t, b1, w2t, b2]
+    if condf is not None:
+        in_specs.append(block(condf.shape[1:]))
+        args.append(condf)
+
+    flops_step = 2 * hw * ((4 * cp + ccp) * cfg.fc_dim + cfg.fc_dim * cp)
+    y, ckpt = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_segments, cp, hw), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            block((cp, hw)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, cp, hw), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_steps * flops_step,
+            bytes_accessed=(2 + n_segments) * b * cp * hw * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, ckpt
+
+
+def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
+                   compute_dtype, interpret, h, w):
+    b, n_segments, cp, hw = ckpt.shape
+    c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
+    tile_rows = _pick_tile_rows(h, w)
+    f = cfg.fc_dim
+    p = 4 * cp + ccp
+    kernel = _make_bwd_kernel_flat(
+        cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
+        jnp.dtype(compute_dtype),
+    )
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
+    # Full padded [P, F] / [F, cp] weights for the cotangent matmuls.
+    w1p = w1t.T
+    w2p = w2t.T
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        block((cp, hw)),
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+        rep(w1p.shape), rep(w2p.shape),
+    ]
+    args = [seed_i32.reshape(1), ckpt, gy, w1t, b1, w2t, b2, w1p, w2p]
+    if condf is not None:
+        in_specs.append(block(condf.shape[1:]))
+        args.append(condf)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),   # dx0
+        jax.ShapeDtypeStruct((b, f, p), jnp.float32),     # dw1t
+        jax.ShapeDtypeStruct((b, 1, f), jnp.float32),     # db1
+        jax.ShapeDtypeStruct((b, cp, f), jnp.float32),    # dw2t
+        jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),    # db2
+    ]
+    out_specs = [
+        block((cp, hw)), block((f, p)), block((1, f)), block((cp, f)),
+        block((1, cp)),
+    ]
+    if condf is not None:
+        out_shape.append(jax.ShapeDtypeStruct((b, ccp, hw), jnp.float32))
+        out_specs.append(block((ccp, hw)))
+
+    flops_step = 2 * hw * (3 * (p * f + f * cp))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
+            pltpu.VMEM((cp, hw), jnp.float32),            # gx
+            pltpu.VMEM((4 * cp, hw), jnp.float32),        # gp
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_steps * flops_step,
+            bytes_accessed=2 * n_segments * b * cp * hw * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if condf is not None:
+        dx0, dw1t, db1, dw2t, db2, dcond = outs
+    else:
+        dx0, dw1t, db1, dw2t, db2 = outs
+        dcond = None
+    # Un-pad the parameter gradients back to the reference layout.
+    dw1p = jnp.sum(dw1t, axis=0).T  # [P, F] padded-row layout
+    rows = [dw1p[k * cp : k * cp + c] for k in range(4)]
+    if cc:
+        rows.append(dw1p[4 * cp : 4 * cp + cc])
+    dparams = {
+        "w1": jnp.concatenate(rows, axis=0).astype(params["w1"].dtype),
+        "b1": jnp.sum(db1, axis=(0, 1)).astype(params["b1"].dtype),
+        "w2": jnp.sum(dw2t, axis=0).T[:, :c].astype(params["w2"].dtype),
+        "b2": jnp.sum(db2, axis=(0, 1))[:c].astype(params["b2"].dtype),
+    }
+    return dparams, dx0, dcond
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def fused_rollout_train_flat_hw(
+    params: dict,
+    xf: jnp.ndarray,
+    condf: Optional[jnp.ndarray],
+    seed_f: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    segment: int,
+    compute_dtype: str,
+    interpret: bool,
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Differentiable flat-layout fused rollout on [B, ceil8(C), H*W] state
+    (+ padded flat cond). Gradients flow to params, xf, condf."""
+    y, _ = _fwd_call_flat(
+        params, xf, condf, seed_f.astype(jnp.int32), cfg, n_steps, n_steps,
+        compute_dtype, interpret, h, w,
+    )
+    return y
+
+
+def _train_fwd_flat(params, xf, condf, seed_f, cfg, n_steps, segment,
+                    compute_dtype, interpret, h, w):
+    seed_i32 = seed_f.astype(jnp.int32)
+    y, ckpt = _fwd_call_flat(
+        params, xf, condf, seed_i32, cfg, n_steps, segment, compute_dtype,
+        interpret, h, w,
+    )
+    return y, (params, ckpt, condf, seed_i32)
+
+
+def _train_bwd_flat(cfg, n_steps, segment, compute_dtype, interpret, h, w,
+                    res, gy):
+    params, ckpt, condf, seed_i32 = res
+    dparams, dx0, dcond = _bwd_call_flat(
+        params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
+        compute_dtype, interpret, h, w,
+    )
+    if condf is not None and dcond is None:
+        dcond = jnp.zeros_like(condf)
+    return dparams, dx0, dcond, jnp.zeros((), jnp.float32)
+
+
+fused_rollout_train_flat_hw.defvjp(_train_fwd_flat, _train_bwd_flat)
+
+
+def fused_rollout_train_flat(
+    params: dict,
+    x_nhwc: jnp.ndarray,
+    seed_f: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    cond_nhwc: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NHWC wrapper for the FLAT custom-VJP kernel pair: returns
+    (state, rgb) like ``dynca_rollout``, differentiable through the fused
+    kernels. Channel pad/flatten happens inside the differentiated graph, so
+    cotangents flow back through the (linear) reshape/pad exactly."""
+    b, h, w, _ = x_nhwc.shape
+    segment = pick_segment_flat(cfg, h, w, n_steps)
+    assert segment is not None, "flat fused training path unsupported"
+    c, cp, cc, ccp = _flat_shapes(cfg, cond_nhwc is not None)
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(
+        b, cp, h * w
+    )
+    condf = None
+    if cond_nhwc is not None:
+        cnd = jnp.transpose(cond_nhwc, (0, 3, 1, 2))
+        condf = jnp.pad(
+            cnd, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))
+        ).reshape(b, ccp, h * w).astype(jnp.float32)
+    out = fused_rollout_train_flat_hw(
+        params, xf, condf, jnp.asarray(seed_f, jnp.float32), cfg, n_steps,
+        segment, compute_dtype, interpret, h, w,
+    )
+    state = out.reshape(b, cp, h, w)[:, :c]
+    state = jnp.transpose(state, (0, 2, 3, 1))
+    return state, state[..., : cfg.c_out] * 2.0
 
 
 def fused_rollout_train(

@@ -62,11 +62,14 @@ def video_motion(img_size=256) -> Preset:
         video_motion_loss_type="MotionOT",
         motion_img_size=(img_size, img_size),
     )
+    # remat="segment:8": blocks of 8 steps checkpointed — measured 5-6%
+    # faster BPTT than per-step remat at 256px (bitwise-identical values).
     train = TrainConfig(img_size=(img_size, img_size), batch_size=3,
                         pool_size=256, step_range=(80, 144),
                         max_iterations=5000, lr_decay_steps=(1000, 2000),
                         lr_decay_gamma=0.3,
-                        step_buckets=(80, 96, 128, 144))
+                        step_buckets=(80, 96, 128, 144),
+                        remat="segment:8")
     return nca, loss, train
 
 
