@@ -29,21 +29,22 @@ def bench_fused(size: int, n_steps: int = 96, iters: int = 10):
 
     from vsnca_tpu.config import NCAConfig
     from vsnca_tpu.models.dynca import dynca_init
-    from vsnca_tpu.ops.pallas_step import fused_rollout_chw, fused_rollout_supported
+    from vsnca_tpu.ops.pallas_step import ROLLOUT_KERNELS, select_rollout_kernel
 
     cfg = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
-    if not fused_rollout_supported(cfg, size, size):
+    kernel = select_rollout_kernel(cfg, size, size)
+    if kernel is None:
         return None
+    fn = ROLLOUT_KERNELS[kernel]
     params = dynca_init(jax.random.PRNGKey(0), cfg)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, cfg.c_in, size, size)) - 0.5
 
-    s = fused_rollout_chw(params, x, jnp.int32(0), cfg, n_steps,
-                          compute_dtype="bfloat16")
+    s = fn(params, x, jnp.int32(0), cfg, n_steps, compute_dtype="bfloat16")
     _fetch(s)
     t0 = time.perf_counter()
     for i in range(iters):
-        s = fused_rollout_chw(params, s, jnp.int32(i), cfg, n_steps,
-                              compute_dtype="bfloat16")
+        s = fn(params, s, jnp.int32(i), cfg, n_steps,
+               compute_dtype="bfloat16")
     _fetch(s)
     return (time.perf_counter() - t0) / iters
 
@@ -112,7 +113,8 @@ def bench_training():
     out["train_iters_per_sec_static_texture_fused"] = _bench_fused_subprocess()
 
     try:
-        vm = benchmark_train_step("video_motion", iters=3)
+        vm = benchmark_train_step("video_motion", iters=3,
+                                  precompute_targets=True)
         out["train_iters_per_sec_video_motion"] = vm["train_iters_per_sec"]
     except Exception as e:  # pragma: no cover - bench resilience
         out["train_iters_per_sec_video_motion"] = None

@@ -57,13 +57,17 @@ class VideoStylizer:
         self._extra_channel = nca_cfg.n_seed_channels < nca_cfg.c_in
         self._frame_idx = 0
 
-        from vsnca_tpu.ops.pallas_step import fused_rollout_supported
+        from vsnca_tpu.ops.pallas_step import select_rollout_kernel
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        supported = on_tpu and fused_rollout_supported(nca_cfg, *self.size)
+        self._kernel = select_rollout_kernel(nca_cfg, *self.size) if on_tpu else None
         if use_fused == "always":
-            assert supported, "fused kernel unsupported for this config/size"
-        self._fused = supported and use_fused in ("auto", "always")
+            assert self._kernel is not None, (
+                "fused kernel unsupported for this config/size"
+            )
+        if use_fused == "never":
+            self._kernel = None
+        self._fused = self._kernel is not None
         self._frame_fn = jax.jit(self._frame_step)
         self.reset()
 
@@ -98,7 +102,7 @@ class VideoStylizer:
             )
 
         if self._fused:
-            from vsnca_tpu.ops.pallas_step import fused_rollout_chw
+            from vsnca_tpu.ops.pallas_step import ROLLOUT_KERNELS
 
             # state is CHW; only small conditioning/rgb tensors transpose.
             h = state
@@ -109,7 +113,7 @@ class VideoStylizer:
             cond_chw = (
                 jnp.transpose(cond, (0, 3, 1, 2)) if cond is not None else None
             )
-            out = fused_rollout_chw(
+            out = ROLLOUT_KERNELS[self._kernel](
                 params, h, seed_or_key, self.cfg, self.step_n,
                 cond=cond_chw, compute_dtype="bfloat16",
             )

@@ -26,6 +26,17 @@ This is the inference/deployment path; training uses the custom-VJP kernel
 pair in ops/pallas_train.py (segment-checkpointed remat-in-kernel BPTT) when
 supported, else the pure-JAX step whose gradients XLA derives.
 
+Layout evolution (round 3 finding): the [C, H, W] kernels below pay two
+relayouts per tile per step — the percept [C, th, W] -> [P, th*W]
+sublane->lane flatten feeding the MXU, and the sublane-MISALIGNED
+H-neighbor views band[:, di:di+th, :]. The FLAT layout ([ceil8(C), H*W],
+every pixel on the lane axis) eliminates both and measured 1.67x faster at
+256^2 (0.0457 vs 0.0762 ms/step, 910 fps @ 24 steps/frame) and 1.60x at
+512^2 via the streaming variant (0.1143 vs 0.1830 XLA ms/step, 365 fps).
+``select_rollout_kernel`` encodes the measured auto-selection policy; the
+CHW kernels remain for multiscale (0, 1) and as the bit-exact-vs-XLA
+reference points.
+
 Scope decisions (measured on v5e):
 - a multiscale (scales (0,1)) kernel variant exists (_make_kernel_roll_ms:
   resampling as clamped-bilinear MXU matmuls, per-tile half-percept bands)
@@ -1650,3 +1661,32 @@ def fused_stream_supported(cfg: NCAConfig, h: int, w: int) -> bool:
         return False
     band_h = _pick_band_h(h, w, cfg.c_in)
     return h % band_h == 0 and band_h >= 8 and h > band_h
+
+
+def select_rollout_kernel(cfg: NCAConfig, h: int, w: int) -> Optional[str]:
+    """Auto-selection policy for the inference rollout, by measured speed
+    (v5e, c12/fc96; see docs/ROUND2.md):
+
+    - 'flat' (VMEM-resident flat layout): 0.0457 ms/step @256^2 — 1.67x the
+      roll kernel, 1.57x XLA.
+    - 'stream_flat' (flat HBM-streaming) for grids past the VMEM cap, where
+      it beats the XLA scan (the [C, H, W] streaming kernel measured dead
+      even and stays off).
+    - None: XLA scan path (multiscale, non-lane-aligned widths, or whenever
+      no kernel wins).
+    Returns the kernel name or None.
+    """
+    if fused_flat_supported(cfg, h, w):
+        return "flat"
+    if fused_rollout_supported(cfg, h, w):
+        return "roll"
+    if fused_stream_flat_supported(cfg, h, w):
+        return "stream_flat"
+    return None
+
+
+ROLLOUT_KERNELS = {
+    "flat": lambda *a, **k: fused_rollout_flat_chw(*a, **k),
+    "roll": lambda *a, **k: fused_rollout_chw(*a, **k),
+    "stream_flat": lambda *a, **k: fused_rollout_stream_flat_chw(*a, **k),
+}

@@ -772,10 +772,10 @@ def _make_bwd_kernel_flat(
     ):
         if has_cond:
             (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             dcond_ref, states_ref, gx_ref, gp_ref, dma_sem) = rest
+             dcond_ref, states_ref, gp_ref, dma_sem) = rest
         else:
             (dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             states_ref, gx_ref, gp_ref, dma_sem) = rest
+             states_ref, gp_ref, dma_sem) = rest
             cond_ref = dcond_ref = None
 
         bidx = pl.program_id(0)
@@ -786,7 +786,12 @@ def _make_bwd_kernel_flat(
         db2_ref[:] = jnp.zeros_like(db2_ref)
         if dcond_ref is not None:
             dcond_ref[:] = jnp.zeros_like(dcond_ref)
-        gx_ref[:] = g_ref[0]
+        # dL/dx accumulates IN the dx0 output block (saves a cp*hw VMEM
+        # buffer); gy stays in HBM and is DMA'd in once.
+        gload = pltpu.make_async_copy(g_ref.at[bidx], dx0_ref.at[0], dma_sem)
+        gload.start()
+        gload.wait()
+        gx_ref = dx0_ref.at[0]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
         is_col0 = col == 0
@@ -928,7 +933,6 @@ def _make_bwd_kernel_flat(
             return carry
 
         jax.lax.fori_loop(0, n_segments, per_segment, 0)
-        dx0_ref[0] = gx_ref[:]
 
     return kernel
 
@@ -938,13 +942,12 @@ def bwd_flat_vmem_bytes_estimate(
 ) -> int:
     buf = 4 * (
         segment * cp * hw      # states
-        + cp * hw              # gx
         + 4 * cp * hw          # gp
-        + cp * hw              # dx0 / g blocks
+        + cp * hw              # dx0 block (doubles as the gx accumulator)
         + (ccp * hw if ccp else 0)
     )
     tiles = 4 * n * (
-        (4 * cp + ccp) * 3     # percept + neighbor bands headroom
+        (4 * cp + ccp) * 2     # percept + neighbor bands headroom
         + 3 * fc_dim           # z1, hid, gz1
         + 2 * cp               # gdx, adj
     )
@@ -955,7 +958,7 @@ def pick_segment_flat(cfg: NCAConfig, h: int, w: int,
                       n_steps: int) -> Optional[int]:
     cp = _round8(cfg.c_in)
     ccp = _round8(cfg.c_cond) if cfg.conditioning else 0
-    tile_rows = _pick_tile_rows(h, w)
+    tile_rows = _pick_tile_rows(h, w, 2048)
     if h % tile_rows != 0:
         return None
     n = tile_rows * w
@@ -992,7 +995,7 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
                    compute_dtype, interpret, h, w):
     b, cp, hw = xf.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _pick_tile_rows(h, w)
+    tile_rows = _pick_tile_rows(h, w, 2048)
     n_segments = n_steps // segment
     kernel = _make_fwd_kernel_flat(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
@@ -1048,7 +1051,7 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
                    compute_dtype, interpret, h, w):
     b, n_segments, cp, hw = ckpt.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _pick_tile_rows(h, w)
+    tile_rows = _pick_tile_rows(h, w, 2048)
     f = cfg.fc_dim
     p = 4 * cp + ccp
     kernel = _make_bwd_kernel_flat(
@@ -1070,7 +1073,7 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        block((cp, hw)),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # gy: DMA'd into dx0
         rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
         rep(w1p.shape), rep(w2p.shape),
     ]
@@ -1103,7 +1106,6 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
-            pltpu.VMEM((cp, hw), jnp.float32),            # gx
             pltpu.VMEM((4 * cp, hw), jnp.float32),        # gp
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -131,21 +131,39 @@ def make_train_step(
             else:
                 from vsnca_tpu.ops.pallas_train import (
                     fused_rollout_train,
+                    fused_rollout_train_flat,
+                    fused_train_flat_supported,
                     fused_train_supported,
                 )
 
-                use_fused = rollout_path == "fused" or (
-                    rollout_path == "auto"
-                    and jax.default_backend() == "tpu"
+                want_fused = rollout_path == "fused" or (
+                    rollout_path == "auto" and jax.default_backend() == "tpu"
+                )
+                use_flat = want_fused and fused_train_flat_supported(
+                    nca_cfg, hw[0], hw[1], step_n
+                )
+                use_fused = use_flat or (
+                    want_fused
                     and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
                 )
+                if rollout_path == "fused":
+                    assert use_fused, (
+                        "rollout_path='fused' but no fused training kernel "
+                        "supports this config/shape"
+                    )
                 if use_fused:
                     # segment-checkpointed custom-VJP kernel pair: BPTT
-                    # entirely in VMEM (ops/pallas_train.py)
+                    # entirely in VMEM (ops/pallas_train.py); the flat
+                    # layout is preferred (measured faster, see
+                    # docs/ROUND2.md), CHW pair as fallback.
                     seed_f = jax.random.randint(
                         k_roll, (), 0, 1 << 30
                     ).astype(jnp.float32)
-                    state_after, rgb_after = fused_rollout_train(
+                    roll_fn = (
+                        fused_rollout_train_flat if use_flat
+                        else fused_rollout_train
+                    )
+                    state_after, rgb_after = roll_fn(
                         p, states, seed_f, nca_cfg, step_n, cond_nhwc=cond
                     )
                 else:
@@ -309,11 +327,15 @@ class DyNCATrainer:
         )
         rollout_path = getattr(train_cfg, "rollout_path", "auto")
         if rollout_path in ("auto", "fused") and jax.default_backend() == "tpu":
-            from vsnca_tpu.ops.pallas_train import fused_train_supported
+            from vsnca_tpu.ops.pallas_train import (
+                fused_train_flat_supported,
+                fused_train_supported,
+            )
 
             h, w = train_cfg.img_size
             if any(
-                fused_train_supported(nca_cfg, h, w, n)
+                fused_train_flat_supported(nca_cfg, h, w, n)
+                or fused_train_supported(nca_cfg, h, w, n)
                 for n in train_cfg.step_buckets
             ):
                 print(
