@@ -88,13 +88,10 @@ def _msoenet(params: dict, pair: jnp.ndarray) -> jnp.ndarray:
     """Motion-energy unit on a frame pair [B, H, W, 2] → [B, H, W, 64]
     (MSOEmultiscale.py:86-112)."""
     x = symmetric_pad_2d(pair, (5, 5, 5, 5))
-    # 2-tap temporal conv == sum of per-frame valid 11x11 convs.
-    w = params["conv1_w"]  # [11, 11, 2, 32]
-    y = (
-        conv2d(x[..., 0:1], w[:, :, 0:1, :], padding="VALID")
-        + conv2d(x[..., 1:2], w[:, :, 1:2, :], padding="VALID")
-        + params["conv1_b"]
-    )
+    # The 2-tap temporal Conv3d over a depth-2 axis IS a single 2-channel
+    # 2-D convolution (the C_in reduction = the temporal-tap sum); one conv
+    # call doubles the MXU contraction depth vs two C_in=1 convs.
+    y = conv2d(x, params["conv1_w"], params["conv1_b"], padding="VALID")
     y = jnp.square(y)
     y = max_pool_2d(y, 5, 1, 2)
     y = conv2d(y, params["conv2_w"], params["conv2_b"])
