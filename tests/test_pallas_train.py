@@ -202,3 +202,83 @@ def test_fused_train_flat_grads_batch_edges():
 
     with pltpu.force_tpu_interpret_mode():
         _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))
+
+
+@pytest.mark.parametrize("conditioning", [None, "pos_emb"])
+def test_fused_train_flat_scatter_grads_match_scan(conditioning):
+    """The SCATTER backward (no whole-grid gp buffer — the 256px-class
+    path) vs jax.grad through the scan: 3 row tiles exercise first/interior/
+    last-tile scatter splits, the delayed-scatter ordering, and the deferred
+    top-wrap chunk; 8 steps -> multi-segment reverse walk."""
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    conditioning=conditioning, update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 48, 128, 12)) - 0.5
+    cond = make_conditioning(cfg, (48, 128), batch=1)
+
+    def lf(p, x, c):
+        s, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 8, cond_nhwc=c,
+                                          interpret=True, force_scatter=True)
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    def ls(p, x, c):
+        s, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8, cond=c,
+                               remat="none")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        if conditioning is None:
+            gf = jax.grad(lf, argnums=(0, 1))(params, x, None)
+            gs = jax.grad(ls, argnums=(0, 1))(params, x, None)
+        else:
+            gf = jax.grad(lf, argnums=(0, 1, 2))(params, x, cond)
+            gs = jax.grad(ls, argnums=(0, 1, 2))(params, x, cond)
+    _grads_match(gf, gs)
+
+
+def test_plan_flat_train_selection():
+    """128px stays on the gather backward; mid-size grids past the gather
+    gp budget get the scatter backward; 256² is a DOCUMENTED negative
+    (Mosaic stack demand ~330 B/pixel regardless of tiling — see
+    plan_flat_train) and falls back to the XLA backward."""
+    from vsnca_tpu.ops.pallas_train import plan_flat_train
+
+    c12 = NCAConfig(c_in=12, fc_dim=96, conditioning="pos_emb",
+                    padding_mode="circular")
+    plan = plan_flat_train(c12, 128, 128, 64, need_dcond=False)
+    assert plan is not None and plan[1] is False  # gather
+    # mid-size grid: gather's whole-grid gp no longer fits -> scatter
+    plan = plan_flat_train(c12, 192, 128, 64, need_dcond=False)
+    assert plan is not None and plan[1] is True
+    # 256²: out of scoped-vmem reach for both backwards -> XLA
+    c13 = NCAConfig(c_in=13, seed_channels=12, fc_dim=96,
+                    padding_mode="circular")
+    assert plan_flat_train(c13, 256, 256, 64, need_dcond=False) is None
+
+
+def test_fused_train_flat_cond_no_grad_param_grads_identical():
+    """cond_no_grad=True (the trainer's mode — conditioning carries no
+    gradient) must leave param/state grads identical; only the cond
+    cotangent becomes zeros."""
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 128, 12)) - 0.5
+    cond = make_conditioning(cfg, (8, 128), batch=1)
+
+    def loss(p, x, flag):
+        _, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 4, cond_nhwc=cond,
+                                          interpret=True, cond_no_grad=flag)
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss, argnums=(0, 1))(params, x, False)
+        g2 = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)

@@ -752,6 +752,7 @@ def _make_bwd_kernel_flat(
     cp: int,
     ccp: int,
     compute_dtype,
+    need_dcond: bool = True,
 ):
     c = cfg.c_in
     f = cfg.fc_dim
@@ -770,9 +771,13 @@ def _make_bwd_kernel_flat(
         seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
         w1_ref, w2_ref, *rest,
     ):
-        if has_cond:
+        if has_cond and need_dcond:
             (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
              dcond_ref, states_ref, gp_ref, dma_sem) = rest
+        elif has_cond:
+            (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, gp_ref, dma_sem) = rest
+            dcond_ref = None
         else:
             (dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
              states_ref, gp_ref, dma_sem) = rest
@@ -937,15 +942,260 @@ def _make_bwd_kernel_flat(
     return kernel
 
 
+def _make_bwd_kernel_flat_scatter(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    compute_dtype,
+    need_dcond: bool = True,
+):
+    """Flat backward WITHOUT the whole-grid gp buffer (which alone is
+    4*cp*H*W*4 bytes — 16.8 MB at 256², past VMEM): each tile's perception
+    cotangent is folded into dL/dx by a SCATTER of its adjoint-stencil band,
+    delayed by one tile so the next tile's pass-1 read of its first row
+    happens before the overlapping halo write. Tile 0's top-wrap chunk
+    (which lands on the LAST tile's rows) is deferred to the end of the
+    step. Only per-tile gp/adjoint bands live in VMEM."""
+    c = cfg.c_in
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    n_segments = n_steps // segment
+    hw = h * w
+    assert cfg.padding_mode == "circular"
+    assert n_tiles >= 2, "scatter backward needs >= 2 row tiles"
+    has_cond = ccp > 0
+
+    dn_nn = (((1,), (1,)), ((), ()))
+
+    def kernel(
+        seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+        w1_ref, w2_ref, *rest,
+    ):
+        if has_cond and need_dcond:
+            (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             dcond_ref, states_ref, adj_ref, dma_sem) = rest
+        elif has_cond:
+            (cond_ref, dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, adj_ref, dma_sem) = rest
+            dcond_ref = None
+        else:
+            (dx0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, adj_ref, dma_sem) = rest
+            cond_ref = dcond_ref = None
+
+        bidx = pl.program_id(0)
+
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        if dcond_ref is not None:
+            dcond_ref[:] = jnp.zeros_like(dcond_ref)
+        gload = pltpu.make_async_copy(g_ref.at[bidx], dx0_ref.at[0], dma_sem)
+        gload.start()
+        gload.wait()
+        gx_ref = dx0_ref.at[0]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+        # adjoint bands are n + 4w long (±1-row outputs, each needing ±1-row
+        # taps of the zero-padded tile gp)
+        cola = jax.lax.broadcasted_iota(jnp.int32, (1, n + 4 * w), 1) % w
+        a_col0 = cola == 0
+        a_colw1 = cola == w - 1
+
+        def band_of(buf_slice, t):
+            o = t * n
+            parts = []
+            lo = o - w
+            if t == 0:
+                parts.append(buf_slice(hw - w, hw))
+                lo = 0
+            if t == n_tiles - 1:
+                parts.append(buf_slice(lo, hw))
+                parts.append(buf_slice(0, w))
+            else:
+                parts.append(buf_slice(lo, o + n + w))
+            if len(parts) == 1:
+                return parts[0]
+            return jnp.concatenate(parts, axis=1)
+
+        def tile_percept(src_k, t):
+            band = band_of(lambda a, b: states_ref[src_k, :, a:b], t)
+            o = t * n
+            cond_tile = (
+                cond_ref[0, :, o : o + n] if cond_ref is not None else None
+            )
+            return _flat_percept(
+                band, cond_tile, n, w, "circular", compute_dtype,
+                is_col0, is_colw1,
+            )
+
+        def recompute_segment(s):
+            if segment == 1:
+                return  # states[0] == checkpoint of the step itself
+
+            def one_k(k, carry):
+                pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+                for t in range(n_tiles):
+                    o = t * n
+                    center, percept = tile_percept(k, t)
+                    mask = _draw_mask_flat(n, thr)
+
+                    @pl.when(k < segment - 1)
+                    def _():
+                        hid = jnp.maximum(
+                            jnp.dot(w1t_ref[:], percept,
+                                    preferred_element_type=jnp.float32)
+                            + b1_ref[:].reshape(f, 1),
+                            0.0,
+                        ).astype(compute_dtype)
+                        dx = (
+                            jnp.dot(w2t_ref[:], hid,
+                                    preferred_element_type=jnp.float32)
+                            + b2_ref[:].reshape(cp, 1)
+                        )
+                        states_ref[k + 1, :, o : o + n] = center + dx * mask
+
+                return carry
+
+            jax.lax.fori_loop(0, segment, one_k, 0)
+
+        def adj_of(gp_tile):
+            """Adjoint-stencil band [cp, n + 2w] from a single tile's gp
+            [4cp, n] zero-padded on both sides (cross-tile halo contributions
+            emerge as the band's ±1-row edges)."""
+            z = jnp.zeros((4 * cp, 2 * w), gp_tile.dtype)
+            gpb = jnp.concatenate([z, gp_tile, z], axis=1)  # [4cp, n+4w]
+            left, band, right = _flat_neighbors(
+                gpb, n + 2 * w, w, "circular", a_col0, a_colw1
+            )
+
+            def nb_g(g):
+                def nb(di, dj):
+                    arr = (left, band, right)[dj]
+                    return arr[g * cp : (g + 1) * cp,
+                               di * w : di * w + n + 2 * w]
+
+                return nb
+
+            return (
+                band[0:cp, w : w + n + 2 * w]
+                + _stencil_from(nb_g(1), SOBEL_X_F)
+                + _stencil_from(nb_g(2), SOBEL_Y_F)
+                + _stencil_from(nb_g(3), LAPLACIAN_F)
+            )
+
+        def scatter_adj(t, adj):
+            """gx[rows of tile t ± 1] += adj, excluding tile 0's top-wrap
+            chunk (returned for deferral)."""
+            o = t * n
+            if t == 0:
+                gx_ref[:, 0 : n + w] += adj[:, w:]
+                return adj[:, 0:w]  # -> gx[hw-w:hw], deferred
+            if t == n_tiles - 1:
+                gx_ref[:, o - w : hw] += adj[:, : n + w]
+                gx_ref[:, 0:w] += adj[:, n + w :]
+                return None
+            gx_ref[:, o - w : o + n + w] += adj
+            return None
+
+        def backward_step(s, k):
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+            deferred = None
+            for t in range(n_tiles):
+                o = t * n
+                _, percept = tile_percept(k, t)
+                mask = _draw_mask_flat(n, thr)
+                z1 = (
+                    jnp.dot(w1t_ref[:], percept,
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1)
+                )
+                hid = jnp.maximum(z1, 0.0).astype(compute_dtype)
+                gdx = (gx_ref[:, o : o + n] * mask).astype(compute_dtype)
+                gz1 = jnp.where(
+                    z1 > 0.0,
+                    jnp.dot(w2_ref[:], gdx, preferred_element_type=jnp.float32),
+                    0.0,
+                ).astype(compute_dtype)
+                gp = jax.lax.dot_general(
+                    w1_ref[:], gz1,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P, n]
+                if dcond_ref is not None:
+                    dcond_ref[0, :, o : o + n] += gp[4 * cp :]
+                dw1t_ref[0] += jax.lax.dot_general(
+                    gz1, percept, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
+                dw2t_ref[0] += jax.lax.dot_general(
+                    gdx, hid, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
+
+                # Delayed scatter: tile t-1's adjoint lands AFTER this
+                # tile's pass-1 read of its (overlapping) first row. Tile
+                # 0's top-wrap chunk parks in adj_ref's spare last w lanes.
+                if t > 0:
+                    d = scatter_adj(t - 1, adj_ref[:, : n + 2 * w])
+                    if t == 1:
+                        adj_ref[:, n + 2 * w :] = d
+                adj_ref[:, : n + 2 * w] = adj_of(gp[: 4 * cp])
+            scatter_adj(n_tiles - 1, adj_ref[:, : n + 2 * w])
+            gx_ref[:, hw - w : hw] += adj_ref[:, n + 2 * w :]
+
+        def per_segment(si, carry):
+            s = n_segments - 1 - si
+            load = pltpu.make_async_copy(
+                ckpt_ref.at[bidx, s], states_ref.at[0], dma_sem
+            )
+            load.start()
+            load.wait()
+            recompute_segment(s)
+            jax.lax.fori_loop(
+                0, segment,
+                lambda ki, cc_: backward_step(s, segment - 1 - ki) or cc_, 0,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n_segments, per_segment, 0)
+
+    return kernel
+
+
+def _flat_tile_rows(h: int, w: int) -> int:
+    """Row-tile size shared by the flat train fwd/bwd kernels (they MUST
+    agree: masks replay in tile order). Smaller tiles at big grids keep the
+    per-tile temporaries inside the tighter 256px VMEM budget."""
+    return _pick_tile_rows(h, w, 2048)
+
+
 def bwd_flat_vmem_bytes_estimate(
-    cp: int, hw: int, fc_dim: int, ccp: int, segment: int, n: int
+    cp: int, hw: int, fc_dim: int, ccp: int, segment: int, n: int, w: int,
+    scatter: bool = False, need_dcond: bool = True,
 ) -> int:
     buf = 4 * (
         segment * cp * hw      # states
-        + 4 * cp * hw          # gp
         + cp * hw              # dx0 block (doubles as the gx accumulator)
-        + (ccp * hw if ccp else 0)
+        + (ccp * hw if ccp else 0)                  # cond input block
+        + (ccp * hw if (ccp and need_dcond) else 0)  # dcond output block
     )
+    if scatter:
+        buf += 4 * cp * (n + 3 * w)       # per-tile adjoint band + deferral
+    else:
+        buf += 4 * 4 * cp * hw            # whole-grid gp
     tiles = 4 * n * (
         (4 * cp + ccp) * 2     # percept + neighbor bands headroom
         + 3 * fc_dim           # z1, hid, gz1
@@ -954,33 +1204,63 @@ def bwd_flat_vmem_bytes_estimate(
     return buf + tiles
 
 
-def pick_segment_flat(cfg: NCAConfig, h: int, w: int,
-                      n_steps: int) -> Optional[int]:
+def plan_flat_train(
+    cfg: NCAConfig, h: int, w: int, n_steps: int, need_dcond: bool = True
+) -> Optional[Tuple[int, bool]]:
+    """(segment, use_scatter) for the flat VJP pair, or None.
+
+    Prefers the gather backward (whole-grid gp in VMEM — measured at 128px);
+    the scatter backward extends coverage to grids where gp alone would
+    blow VMEM (256²+). ``need_dcond=False`` (the trainer's case: cond is a
+    positional constant or stop-gradient'd edge map) drops the conditioning
+    cotangent output from the budget."""
     cp = _round8(cfg.c_in)
     ccp = _round8(cfg.c_cond) if cfg.conditioning else 0
-    tile_rows = _pick_tile_rows(h, w, 2048)
+    tile_rows = _flat_tile_rows(h, w)
     if h % tile_rows != 0:
         return None
     n = tile_rows * w
-    for k in (16, 8, 4, 2):
-        if n_steps % k:
+    n_tiles = h // tile_rows
+    for scatter in (False, True):
+        if scatter and n_tiles < 2:
             continue
-        if bwd_flat_vmem_bytes_estimate(
-                cp, h * w, cfg.fc_dim, ccp, k, n) < 12 * 2**20:
-            return k
+        if scatter and h * w > 32768:
+            # Measured negative (v5e, docs/ROUND2.md): Mosaic's stack
+            # allocator does not reuse temporaries across the scatter
+            # backward's tile bodies — scoped-vmem demand grows ~330 B per
+            # grid pixel (28.9M at 256^2 vs the 16M limit), independent of
+            # tile size. The scatter path therefore extends the flat VJP to
+            # mid-size grids only; 256^2+ stays on the XLA backward.
+            continue
+        for k in (16, 8, 4, 2, 1):
+            if n_steps % k:
+                continue
+            if bwd_flat_vmem_bytes_estimate(
+                    cp, h * w, cfg.fc_dim, ccp, k, n, w, scatter, need_dcond
+            ) < 13 * 2**20:
+                return k, scatter
     return None
 
 
+def pick_segment_flat(cfg: NCAConfig, h: int, w: int,
+                      n_steps: int) -> Optional[int]:
+    plan = plan_flat_train(cfg, h, w, n_steps)
+    return None if plan is None else plan[0]
+
+
 def fused_train_flat_supported(cfg: NCAConfig, h: int, w: int,
-                               n_steps: int) -> bool:
-    """True when the flat-layout custom-VJP rollout applies."""
+                               n_steps: int,
+                               need_dcond: bool = True) -> bool:
+    """True when the flat-layout custom-VJP rollout applies. The trainer
+    passes need_dcond=False (its conditioning is a positional constant or a
+    stop-gradient'd edge map — no cotangent needed)."""
     if cfg.padding_mode != "circular":
         return False
     if tuple(cfg.perception_scales) != (0,):
         return False
     if w % _LANE != 0:
         return False
-    return pick_segment_flat(cfg, h, w, n_steps) is not None
+    return plan_flat_train(cfg, h, w, n_steps, need_dcond) is not None
 
 
 def _flat_shapes(cfg: NCAConfig, has_cond: bool):
@@ -995,7 +1275,7 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
                    compute_dtype, interpret, h, w):
     b, cp, hw = xf.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _pick_tile_rows(h, w, 2048)
+    tile_rows = _flat_tile_rows(h, w)
     n_segments = n_steps // segment
     kernel = _make_fwd_kernel_flat(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
@@ -1048,15 +1328,21 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
 
 
 def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
-                   compute_dtype, interpret, h, w):
+                   compute_dtype, interpret, h, w, force_scatter=False,
+                   need_dcond=True):
     b, n_segments, cp, hw = ckpt.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _pick_tile_rows(h, w, 2048)
+    tile_rows = _flat_tile_rows(h, w)
     f = cfg.fc_dim
     p = 4 * cp + ccp
-    kernel = _make_bwd_kernel_flat(
+    plan = plan_flat_train(cfg, h, w, n_steps, need_dcond)
+    assert plan is not None and plan[0] == segment, (plan, segment)
+    use_scatter = plan[1] or force_scatter
+    make = (_make_bwd_kernel_flat_scatter if use_scatter
+            else _make_bwd_kernel_flat)
+    kernel = make(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
-        jnp.dtype(compute_dtype),
+        jnp.dtype(compute_dtype), need_dcond,
     )
     w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
     # Full padded [P, F] / [F, cp] weights for the cotangent matmuls.
@@ -1093,7 +1379,7 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
         block((cp, hw)), block((f, p)), block((1, f)), block((cp, f)),
         block((1, cp)),
     ]
-    if condf is not None:
+    if condf is not None and need_dcond:
         out_shape.append(jax.ShapeDtypeStruct((b, ccp, hw), jnp.float32))
         out_specs.append(block((ccp, hw)))
 
@@ -1106,7 +1392,9 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
-            pltpu.VMEM((4 * cp, hw), jnp.float32),        # gp
+            (pltpu.VMEM((cp, tile_rows * w + 3 * w), jnp.float32)  # adj band
+             if use_scatter
+             else pltpu.VMEM((4 * cp, hw), jnp.float32)),          # gp
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1116,10 +1404,10 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
         ),
         interpret=interpret,
     )(*args)
-    if condf is not None:
+    if condf is not None and need_dcond:
         dx0, dw1t, db1, dw2t, db2, dcond = outs
     else:
-        dx0, dw1t, db1, dw2t, db2 = outs
+        dx0, dw1t, db1, dw2t, db2 = outs[:5]
         dcond = None
     # Un-pad the parameter gradients back to the reference layout.
     dw1p = jnp.sum(dw1t, axis=0).T  # [P, F] padded-row layout
@@ -1135,7 +1423,8 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
     return dparams, dx0, dcond
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def fused_rollout_train_flat_hw(
     params: dict,
     xf: jnp.ndarray,
@@ -1148,6 +1437,8 @@ def fused_rollout_train_flat_hw(
     interpret: bool,
     h: int,
     w: int,
+    force_scatter: bool = False,
+    need_dcond: bool = True,
 ) -> jnp.ndarray:
     """Differentiable flat-layout fused rollout on [B, ceil8(C), H*W] state
     (+ padded flat cond). Gradients flow to params, xf, condf."""
@@ -1159,7 +1450,8 @@ def fused_rollout_train_flat_hw(
 
 
 def _train_fwd_flat(params, xf, condf, seed_f, cfg, n_steps, segment,
-                    compute_dtype, interpret, h, w):
+                    compute_dtype, interpret, h, w, force_scatter=False,
+                    need_dcond=True):
     seed_i32 = seed_f.astype(jnp.int32)
     y, ckpt = _fwd_call_flat(
         params, xf, condf, seed_i32, cfg, n_steps, segment, compute_dtype,
@@ -1169,11 +1461,11 @@ def _train_fwd_flat(params, xf, condf, seed_f, cfg, n_steps, segment,
 
 
 def _train_bwd_flat(cfg, n_steps, segment, compute_dtype, interpret, h, w,
-                    res, gy):
+                    force_scatter, need_dcond, res, gy):
     params, ckpt, condf, seed_i32 = res
     dparams, dx0, dcond = _bwd_call_flat(
         params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
-        compute_dtype, interpret, h, w,
+        compute_dtype, interpret, h, w, force_scatter, need_dcond,
     )
     if condf is not None and dcond is None:
         dcond = jnp.zeros_like(condf)
@@ -1192,14 +1484,17 @@ def fused_rollout_train_flat(
     cond_nhwc: Optional[jnp.ndarray] = None,
     compute_dtype: str = "float32",
     interpret: bool = False,
+    force_scatter: bool = False,
+    cond_no_grad: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC wrapper for the FLAT custom-VJP kernel pair: returns
     (state, rgb) like ``dynca_rollout``, differentiable through the fused
     kernels. Channel pad/flatten happens inside the differentiated graph, so
     cotangents flow back through the (linear) reshape/pad exactly."""
     b, h, w, _ = x_nhwc.shape
-    segment = pick_segment_flat(cfg, h, w, n_steps)
-    assert segment is not None, "flat fused training path unsupported"
+    plan = plan_flat_train(cfg, h, w, n_steps, need_dcond=not cond_no_grad)
+    assert plan is not None, "flat fused training path unsupported"
+    segment = plan[0]
     c, cp, cc, ccp = _flat_shapes(cfg, cond_nhwc is not None)
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
     xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(
@@ -1213,7 +1508,8 @@ def fused_rollout_train_flat(
         ).reshape(b, ccp, h * w).astype(jnp.float32)
     out = fused_rollout_train_flat_hw(
         params, xf, condf, jnp.asarray(seed_f, jnp.float32), cfg, n_steps,
-        segment, compute_dtype, interpret, h, w,
+        segment, compute_dtype, interpret, h, w, force_scatter,
+        not cond_no_grad,
     )
     state = out.reshape(b, cp, h, w)[:, :c]
     state = jnp.transpose(state, (0, 2, 3, 1))

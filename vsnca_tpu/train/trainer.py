@@ -139,8 +139,11 @@ def make_train_step(
                 want_fused = rollout_path == "fused" or (
                     rollout_path == "auto" and jax.default_backend() == "tpu"
                 )
+                # need_dcond=False: the trainer's conditioning is a
+                # positional-encoding constant or a stop-gradient'd edge
+                # map (make_conditioning) — no cond cotangent needed.
                 use_flat = want_fused and fused_train_flat_supported(
-                    nca_cfg, hw[0], hw[1], step_n
+                    nca_cfg, hw[0], hw[1], step_n, need_dcond=False
                 )
                 use_fused = use_flat or (
                     want_fused
@@ -159,13 +162,15 @@ def make_train_step(
                     seed_f = jax.random.randint(
                         k_roll, (), 0, 1 << 30
                     ).astype(jnp.float32)
-                    roll_fn = (
-                        fused_rollout_train_flat if use_flat
-                        else fused_rollout_train
-                    )
-                    state_after, rgb_after = roll_fn(
-                        p, states, seed_f, nca_cfg, step_n, cond_nhwc=cond
-                    )
+                    if use_flat:
+                        state_after, rgb_after = fused_rollout_train_flat(
+                            p, states, seed_f, nca_cfg, step_n,
+                            cond_nhwc=cond, cond_no_grad=True,
+                        )
+                    else:
+                        state_after, rgb_after = fused_rollout_train(
+                            p, states, seed_f, nca_cfg, step_n, cond_nhwc=cond
+                        )
                 else:
                     state_after, rgb_after = dynca_rollout(
                         p, states, k_roll, nca_cfg, step_n, cond=cond,
@@ -334,7 +339,7 @@ class DyNCATrainer:
 
             h, w = train_cfg.img_size
             if any(
-                fused_train_flat_supported(nca_cfg, h, w, n)
+                fused_train_flat_supported(nca_cfg, h, w, n, need_dcond=False)
                 or fused_train_supported(nca_cfg, h, w, n)
                 for n in train_cfg.step_buckets
             ):
