@@ -92,7 +92,8 @@ def extra_channels(img_size=256) -> Preset:
     )
     train = TrainConfig(img_size=(img_size, img_size), batch_size=2,
                         pool_size=256, step_range=(32, 128),
-                        max_iterations=2000, lr_decay_steps=(500, 1000))
+                        max_iterations=2000, lr_decay_steps=(500, 1000),
+                        remat="segment:8")
     return nca, loss, train
 
 
@@ -114,7 +115,8 @@ def edge_conditioned(img_size=256) -> Preset:
     )
     train = TrainConfig(img_size=(img_size, img_size), batch_size=2,
                         pool_size=256, step_range=(32, 128),
-                        max_iterations=2000, lr_decay_steps=(500, 1000))
+                        max_iterations=2000, lr_decay_steps=(500, 1000),
+                        remat="segment:8")
     return nca, loss, train
 
 
