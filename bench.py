@@ -137,6 +137,20 @@ def bench_training():
 
 
 def main():
+    # Persistent compilation cache: kernels compiled by previous runs (or
+    # the CLI) reload in seconds instead of re-running the remote Mosaic
+    # compiler.
+    import os
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/vsnca_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     n_steps = 96
     results = {}
     for size in (256, 512):

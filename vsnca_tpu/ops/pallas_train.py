@@ -754,14 +754,12 @@ def _make_bwd_kernel_flat(
     compute_dtype,
     need_dcond: bool = True,
 ):
-    c = cfg.c_in
     f = cfg.fc_dim
     thr = _uniform_threshold(cfg.update_rate)
     n = tile_rows * w
     n_tiles = h // tile_rows
     n_segments = n_steps // segment
     hw = h * w
-    p_dim = 4 * cp + ccp
     assert cfg.padding_mode == "circular"
     has_cond = ccp > 0
 
@@ -1110,7 +1108,6 @@ def _make_bwd_kernel_flat_scatter(
 
         def backward_step(s, k):
             pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
-            deferred = None
             for t in range(n_tiles):
                 o = t * n
                 _, percept = tile_percept(k, t)
