@@ -320,3 +320,45 @@ def test_fused_rollout_stream_flat_matches_scan(conditioning):
     got = jnp.transpose(got, (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_select_rollout_kernel_policy():
+    """The measured auto-selection table (docs/ROUND2.md): flat when
+    VMEM-resident fits, roll only for multiscale-capable... (multiscale
+    stays on XLA), stream_flat for large circular grids, None otherwise."""
+    from vsnca_tpu.ops.pallas_step import select_rollout_kernel
+
+    circ = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular")
+    assert select_rollout_kernel(circ, 256, 256) == "flat"
+    assert select_rollout_kernel(circ, 128, 128) == "flat"
+    assert select_rollout_kernel(circ, 512, 512) == "stream_flat"
+    assert select_rollout_kernel(circ, 1024, 1024) == "stream_flat"
+    # W not lane-aligned -> XLA
+    assert select_rollout_kernel(circ, 256, 100) is None
+    # multiscale -> XLA (measured break-even for the CHW ms kernel)
+    ms = NCAConfig(c_in=16, fc_dim=128, padding_mode="circular",
+                   perception_scales=(0, 1))
+    assert select_rollout_kernel(ms, 256, 256) is None
+    # replicate padding: flat VMEM-resident handles it; no streaming tier
+    rep = NCAConfig(c_in=12, fc_dim=96, padding_mode="replicate")
+    assert select_rollout_kernel(rep, 256, 256) == "flat"
+    assert select_rollout_kernel(rep, 512, 512) is None
+
+
+def test_kernel_gates_account_for_conditioning_vmem():
+    """Conditioned configs carry a whole-grid VMEM cond block; the gates
+    must reject sizes where it blows the budget (1024² edges stylizer OOMed
+    the scoped-vmem allocator before this accounting) while keeping the
+    measured-working sizes."""
+    from vsnca_tpu.ops.pallas_step import (
+        fused_flat_supported,
+        fused_stream_flat_supported,
+        select_rollout_kernel,
+    )
+
+    edges = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
+                      conditioning="edges")
+    assert fused_flat_supported(edges, 256, 256)          # 497 fps measured
+    assert fused_stream_flat_supported(edges, 512, 512)   # 188 fps measured
+    assert not fused_stream_flat_supported(edges, 1024, 1024)  # cond 33.5 MB
+    assert select_rollout_kernel(edges, 1024, 1024) is None    # -> XLA

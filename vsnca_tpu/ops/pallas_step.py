@@ -1625,18 +1625,30 @@ def fused_rollout_stream_flat_chw(
 
 def fused_stream_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
     """True when the flat-layout streaming kernel applies (big circular
-    grids, single-scale perception)."""
+    grids, single-scale perception). Conditioned configs keep the WHOLE
+    conditioning grid in VMEM as one block, so it counts against the
+    budget — a 1024² edge-conditioned stylizer correctly falls back to XLA
+    instead of OOMing the scoped-vmem allocator."""
     if tuple(cfg.perception_scales) != (0,):
         return False
     if cfg.padding_mode != "circular" or w % _LANE != 0:
         return False
     cp = _round8(cfg.c_in)
     band_h = _pick_band_rows_flat(h, w, cp)
-    return h % band_h == 0 and h > band_h
+    if h % band_h != 0 or h <= band_h:
+        return False
+    band_bytes = (2 * (band_h + 2) + 2 * band_h) * cp * w * 4
+    cond_bytes = (
+        _round8(cfg.c_cond) * h * w * 4 if cfg.conditioning is not None else 0
+    )
+    return band_bytes + cond_bytes < 14 * 2**20
 
 
 def fused_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
-    """True when the flat-layout VMEM-resident kernel applies."""
+    """True when the flat-layout VMEM-resident kernel applies. The
+    conditioning grid (one whole-size VMEM block for conditioned configs)
+    counts against the budget; the 15 MB bound is calibrated to the
+    measured-working 256² edge-conditioned stylizer."""
     if tuple(cfg.perception_scales) != (0,):
         return False
     if w % _LANE != 0:
@@ -1650,7 +1662,9 @@ def fused_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
         + (4 * cp + 8) * n * 4 * 2  # percept (+ band temporaries headroom)
         + cfg.fc_dim * n * 4  # hidden
     )
-    return h % tile_rows == 0 and est < 13 * 2**20
+    if cfg.conditioning is not None:
+        est += _round8(cfg.c_cond) * hw * 4
+    return h % tile_rows == 0 and est < 15 * 2**20
 
 
 def fused_stream_supported(cfg: NCAConfig, h: int, w: int) -> bool:

@@ -78,6 +78,62 @@ def _step_seed(seed0, bidx, step):
     return seed0 + bidx * jnp.int32(_HASH_B) + step * jnp.int32(_HASH_S)
 
 
+def _flat_band_circ(buf_slice, t: int, n: int, w: int, hw: int,
+                    n_tiles: int):
+    """Flat circular band [*, n + 2w] (1-row halos) over a [*, hw]
+    value-slice fn — THE shared halo/wrap builder for the flat train
+    kernels (fwd + both backwards). Interior tiles are pure aligned views;
+    the first/last tiles wrap one row."""
+    o = t * n
+    parts = []
+    lo = o - w
+    if t == 0:
+        parts.append(buf_slice(hw - w, hw))
+        lo = 0
+    if t == n_tiles - 1:
+        parts.append(buf_slice(lo, hw))
+        parts.append(buf_slice(0, w))
+    else:
+        parts.append(buf_slice(lo, o + n + w))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _flat_recompute_segment(
+    s, segment, n_tiles, n, seed_ref, bidx, states_ref, tile_percept,
+    w1t_ref, b1_ref, w2t_ref, b2_ref, f, cp, thr, compute_dtype,
+):
+    """states[k] = x_{sK+k} for k in [1, segment): rebuild a segment's
+    intermediate states from its checkpoint, replaying the forward's
+    per-step seeds and tile order bit-exactly. The segment's LAST step
+    needs no recompute here (backward_step reseeds and regenerates its own
+    percept/masks), so the loop runs segment-1 iterations."""
+    if segment == 1:
+        return
+
+    def one_k(k, carry):
+        pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+        for t in range(n_tiles):
+            o = t * n
+            center, percept = tile_percept(k, t)
+            mask = _draw_mask_flat(n, thr)
+            hid = jnp.maximum(
+                jnp.dot(w1t_ref[:], percept,
+                        preferred_element_type=jnp.float32)
+                + b1_ref[:].reshape(f, 1),
+                0.0,
+            ).astype(compute_dtype)
+            dx = (
+                jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+                + b2_ref[:].reshape(cp, 1)
+            )
+            states_ref[k + 1, :, o : o + n] = center + dx * mask
+        return carry
+
+    jax.lax.fori_loop(0, segment - 1, one_k, 0)
+
+
 def _band_rows_circ(src_sl, lo: int, hi: int, rows: int):
     """Rows lo-1 .. hi (+1 halo each side) of a [C, rows, W] slice fn under
     circular wrap. lo/hi are static."""
@@ -679,20 +735,9 @@ def _make_fwd_kernel_flat(
         is_colw1 = col == w - 1
 
         def band_of(src, t):
-            o = t * n
-            parts = []
-            lo = o - w
-            if t == 0:
-                parts.append(src[0, :, hw - w : hw])
-                lo = 0
-            if t == n_tiles - 1:
-                parts.append(src[0, :, lo:hw])
-                parts.append(src[0, :, 0:w])
-            else:
-                parts.append(src[0, :, lo : o + n + w])
-            if len(parts) == 1:
-                return parts[0]
-            return jnp.concatenate(parts, axis=1)
+            return _flat_band_circ(
+                lambda a, b: src[0, :, a:b], t, n, w, hw, n_tiles
+            )
 
         def run_step(src, dst):
             for t in range(n_tiles):
@@ -801,21 +846,7 @@ def _make_bwd_kernel_flat(
         is_colw1 = col == w - 1
 
         def band_of(buf_slice, t):
-            """Flat circular band [*, n + 2w] over a [*, hw] value-slice fn."""
-            o = t * n
-            parts = []
-            lo = o - w
-            if t == 0:
-                parts.append(buf_slice(hw - w, hw))
-                lo = 0
-            if t == n_tiles - 1:
-                parts.append(buf_slice(lo, hw))
-                parts.append(buf_slice(0, w))
-            else:
-                parts.append(buf_slice(lo, o + n + w))
-            if len(parts) == 1:
-                return parts[0]
-            return jnp.concatenate(parts, axis=1)
+            return _flat_band_circ(buf_slice, t, n, w, hw, n_tiles)
 
         def tile_percept(src_k, t):
             band = band_of(lambda a, b: states_ref[src_k, :, a:b], t)
@@ -829,34 +860,11 @@ def _make_bwd_kernel_flat(
             )
 
         def recompute_segment(s):
-            """states[k] = x_{sK+k}; masks regenerate from the per-step
-            seeds (same tile order as the forward — bit-exact replay)."""
-
-            def one_k(k, carry):
-                pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
-                for t in range(n_tiles):
-                    o = t * n
-                    center, percept = tile_percept(k, t)
-                    mask = _draw_mask_flat(n, thr)
-
-                    @pl.when(k < segment - 1)
-                    def _():
-                        hid = jnp.maximum(
-                            jnp.dot(w1t_ref[:], percept,
-                                    preferred_element_type=jnp.float32)
-                            + b1_ref[:].reshape(f, 1),
-                            0.0,
-                        ).astype(compute_dtype)
-                        dx = (
-                            jnp.dot(w2t_ref[:], hid,
-                                    preferred_element_type=jnp.float32)
-                            + b2_ref[:].reshape(cp, 1)
-                        )
-                        states_ref[k + 1, :, o : o + n] = center + dx * mask
-
-                return carry
-
-            jax.lax.fori_loop(0, segment, one_k, 0)
+            _flat_recompute_segment(
+                s, segment, n_tiles, n, seed_ref, bidx, states_ref,
+                tile_percept, w1t_ref, b1_ref, w2t_ref, b2_ref, f, cp, thr,
+                compute_dtype,
+            )
 
         def backward_step(s, k):
             # pass 1: MLP cotangents + param grads + perception cotangent gp
@@ -1011,20 +1019,7 @@ def _make_bwd_kernel_flat_scatter(
         a_colw1 = cola == w - 1
 
         def band_of(buf_slice, t):
-            o = t * n
-            parts = []
-            lo = o - w
-            if t == 0:
-                parts.append(buf_slice(hw - w, hw))
-                lo = 0
-            if t == n_tiles - 1:
-                parts.append(buf_slice(lo, hw))
-                parts.append(buf_slice(0, w))
-            else:
-                parts.append(buf_slice(lo, o + n + w))
-            if len(parts) == 1:
-                return parts[0]
-            return jnp.concatenate(parts, axis=1)
+            return _flat_band_circ(buf_slice, t, n, w, hw, n_tiles)
 
         def tile_percept(src_k, t):
             band = band_of(lambda a, b: states_ref[src_k, :, a:b], t)
@@ -1038,34 +1033,11 @@ def _make_bwd_kernel_flat_scatter(
             )
 
         def recompute_segment(s):
-            if segment == 1:
-                return  # states[0] == checkpoint of the step itself
-
-            def one_k(k, carry):
-                pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
-                for t in range(n_tiles):
-                    o = t * n
-                    center, percept = tile_percept(k, t)
-                    mask = _draw_mask_flat(n, thr)
-
-                    @pl.when(k < segment - 1)
-                    def _():
-                        hid = jnp.maximum(
-                            jnp.dot(w1t_ref[:], percept,
-                                    preferred_element_type=jnp.float32)
-                            + b1_ref[:].reshape(f, 1),
-                            0.0,
-                        ).astype(compute_dtype)
-                        dx = (
-                            jnp.dot(w2t_ref[:], hid,
-                                    preferred_element_type=jnp.float32)
-                            + b2_ref[:].reshape(cp, 1)
-                        )
-                        states_ref[k + 1, :, o : o + n] = center + dx * mask
-
-                return carry
-
-            jax.lax.fori_loop(0, segment, one_k, 0)
+            _flat_recompute_segment(
+                s, segment, n_tiles, n, seed_ref, bidx, states_ref,
+                tile_percept, w1t_ref, b1_ref, w2t_ref, b2_ref, f, cp, thr,
+                compute_dtype,
+            )
 
         def adj_of(gp_tile):
             """Adjoint-stencil band [cp, n + 2w] from a single tile's gp

@@ -54,6 +54,10 @@ def setup_args():
                    help="data-parallel training over N devices (0 = single "
                         "device). Requires batch_size %% N == 0; gradients "
                         "are all-reduced over the mesh by XLA.")
+    p.add_argument("--no-precompute", action="store_true",
+                   help="disable target-feature precompute (recompute VGG/"
+                        "MSOE target features every iteration, as the "
+                        "reference does)")
     return p.parse_args()
 
 
@@ -209,20 +213,33 @@ def main():
     # (gradient-identical to the reference's per-iteration no_grad recompute).
     style_feats = None
     motion_feats = None
-    if loss_cfg.appearance_weight:
+    if loss_cfg.appearance_weight and not args.no_precompute:
         from vsnca_tpu.losses.appearance import precompute_target_style_features
 
         style_feats = precompute_target_style_features(
             vgg, style, loss_cfg.appearance_loss_type, hw
         )
-    if loss_cfg.video_motion_weight and msoe is not None:
+    if (loss_cfg.video_motion_weight and msoe is not None
+            and not args.no_precompute):
         from vsnca_tpu.losses.video_motion import (
             precompute_target_motion_features,
         )
 
-        motion_feats = precompute_target_motion_features(
-            msoe, target_video, loss_cfg.motion_img_size
-        )
+        # The per-pair 320-channel feature is h'*w'*320*4 bytes (~84 MB at
+        # 256px); cap the total so a long video can't OOM HBM at startup —
+        # past the cap, fall back to per-window frame recompute.
+        mh, mw = loss_cfg.motion_img_size
+        pair_bytes = mh * mw * 320 * 4
+        n_pairs = int(target_video.shape[0]) - 1
+        budget = 4 * 2**30
+        if n_pairs * pair_bytes <= budget:
+            motion_feats = precompute_target_motion_features(
+                msoe, target_video, loss_cfg.motion_img_size
+            )
+        else:
+            print(f"[vsnca_tpu] skipping motion-feature precompute: "
+                  f"{n_pairs} pairs x {pair_bytes/2**20:.0f} MB exceeds the "
+                  f"{budget/2**30:.0f} GB budget; recomputing per window")
 
     rng = np.random.RandomState(args.seed)
     t0 = time.time()

@@ -331,6 +331,11 @@ class DyNCATrainer:
             )
         )
         rollout_path = getattr(train_cfg, "rollout_path", "auto")
+        if mesh is not None and rollout_path != "xla":
+            # The fused Pallas custom-VJP kernels have no SPMD partitioning
+            # rule — under a data-parallel mesh the batch-sharded states
+            # must stay on the XLA rollout (GSPMD partitions it cleanly).
+            rollout_path = "xla"
         if rollout_path in ("auto", "fused") and jax.default_backend() == "tpu":
             from vsnca_tpu.ops.pallas_train import (
                 fused_train_flat_supported,
@@ -369,6 +374,7 @@ class DyNCATrainer:
             self._rep_sharding = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(mesh, P(axis))
             self._time_major_sharding = NamedSharding(mesh, P(None, axis))
+        self._rollout_path = rollout_path
         self._train_step = make_train_step(
             nca_cfg, self.loss_state, self.optimizer, train_cfg.remat,
             rollout_path,
@@ -404,7 +410,7 @@ class DyNCATrainer:
         self.loss_state = dataclasses.replace(self.loss_state, cfg=new_cfg)
         self._train_step = make_train_step(
             self.nca_cfg, self.loss_state, self.optimizer,
-            self.train_cfg.remat, getattr(self.train_cfg, "rollout_path", "auto"),
+            self.train_cfg.remat, self._rollout_path,
         )
         self._pooled_step = make_pooled_train_step(
             self._train_step, self._batch_sharding

@@ -102,10 +102,15 @@ class VideoMotionProtocol:
                     self.train_cfg.img_size,
                 )
             if self.loss_cfg.video_motion_weight and msoe_params is not None:
-                self._motion_feats = precompute_target_motion_features(
-                    msoe_params, self.target_video,
-                    self.loss_cfg.motion_img_size,
-                )
+                # Budget guard: ~84 MB per pair at 256px; long videos fall
+                # back to per-window recompute instead of OOMing HBM.
+                mh, mw = self.loss_cfg.motion_img_size
+                n_pairs = int(self.target_video.shape[0]) - 1
+                if n_pairs * mh * mw * 320 * 4 <= 4 * 2**30:
+                    self._motion_feats = precompute_target_motion_features(
+                        msoe_params, self.target_video,
+                        self.loss_cfg.motion_img_size,
+                    )
         trainer = self._build_trainer(vgg_params, msoe_params)
 
         # ---- warmup ----
