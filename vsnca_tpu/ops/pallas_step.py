@@ -786,12 +786,16 @@ def fused_rollout(
     update_rate: Optional[float] = None,
     compute_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """NHWC wrapper: returns (state, rgb) like ``dynca_rollout``."""
+    """NHWC wrapper: returns (state, rgb) like ``dynca_rollout``, using the
+    fastest supported fused kernel for the shape (``select_rollout_kernel``;
+    falls back to the CHW roll kernel, which also covers multiscale)."""
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
     cond = (
         jnp.transpose(cond_nhwc, (0, 3, 1, 2)) if cond_nhwc is not None else None
     )
-    out = fused_rollout_chw(
+    h, w = x.shape[2], x.shape[3]
+    kernel = select_rollout_kernel(cfg, h, w) or "roll"
+    out = ROLLOUT_KERNELS[kernel](
         params, x, seed, cfg, n_steps, cond, update_rate,
         compute_dtype=compute_dtype,
     )
