@@ -723,28 +723,33 @@ def fused_rollout_chw(
         # D/U resampling matmuls: downsample state + upsample 4C percept
         flops_step += 2 * c * (h // 2) * w * (h + w // 2)
         flops_step += 2 * 4 * c * h * w * (w // 2 + h // 2) // 2
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), sdt),
-        in_specs=in_specs,
-        out_specs=block((c, h, w)),
-        scratch_shapes=(
-            [
-                pltpu.VMEM(
-                    (1, c, h, w) if use_roll else (1, c, h + 2, w + 2), sdt
-                )
-            ]
-            + ([pltpu.VMEM((c, h // 2, w // 2), jnp.float32)] if multiscale else [])
-            + [pltpu.SemaphoreType.DMA(())]
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=2 * b * c * h * w * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        out = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=jax.ShapeDtypeStruct((b, c, h, w), sdt),
+            in_specs=in_specs,
+            out_specs=block((c, h, w)),
+            scratch_shapes=(
+                [
+                    pltpu.VMEM(
+                        (1, c, h, w) if use_roll else (1, c, h + 2, w + 2), sdt
+                    )
+                ]
+                + ([pltpu.VMEM((c, h // 2, w // 2), jnp.float32)] if multiscale else [])
+                + [pltpu.SemaphoreType.DMA(())]
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=2 * b * c * h * w * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return out
 
 
@@ -1041,34 +1046,39 @@ def fused_rollout_stream_chw(
     flops_step = 2 * h * w * ((4 * c + cc) * cfg.fc_dim + cfg.fc_dim * c)
     # The ping-pong partner is a second ANY-space OUTPUT (Mosaic does not
     # allow HBM scratch allocations); it is discarded by the wrapper.
-    out, _ = pl.pallas_call(
-        _make_kernel_stream(
-            cfg, h, w, n_steps, band_h, tile_h, cond is not None, rate, cdt
-        ),
-        grid=(b,),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((1, c, h, w), jnp.float32),
-        ),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, c, band_h + 16, w), jnp.float32),  # band + 8-row halo blocks
-            pltpu.VMEM((2, c, band_h, w), jnp.float32),      # band out
-            pltpu.SemaphoreType.DMA((2,)),                   # loads
-            pltpu.SemaphoreType.DMA((2,)),                   # stores
-            pltpu.SemaphoreType.DMA(()),                     # whole-state copies
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=2 * b * n_steps * c * h * w * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        out, _ = pl.pallas_call(
+            _make_kernel_stream(
+                cfg, h, w, n_steps, band_h, tile_h, cond is not None, rate, cdt
+            ),
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((1, c, h, w), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, c, band_h + 16, w), jnp.float32),  # band + 8-row halo blocks
+                pltpu.VMEM((2, c, band_h, w), jnp.float32),      # band out
+                pltpu.SemaphoreType.DMA((2,)),                   # loads
+                pltpu.SemaphoreType.DMA((2,)),                   # stores
+                pltpu.SemaphoreType.DMA(()),                     # whole-state copies
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=2 * b * n_steps * c * h * w * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return out
 
 
@@ -1357,24 +1367,29 @@ def fused_rollout_flat_chw(
         args.append(cf.astype(jnp.float32))
 
     flops_step = 2 * hw * (p_dim * cfg.fc_dim + cfg.fc_dim * cp)
-    out = pl.pallas_call(
-        _make_kernel_flat(cfg, h, w, n_steps, tile_rows, cp, ccp, rate, cdt),
-        grid=(b,),
-        out_shape=jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, cp, hw), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, cp, hw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=2 * b * cp * hw * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        out = pl.pallas_call(
+            _make_kernel_flat(cfg, h, w, n_steps, tile_rows, cp, ccp, rate, cdt),
+            grid=(b,),
+            out_shape=jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, cp, hw), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, cp, hw), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=2 * b * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return out.reshape(b, cp, h, w)[:, :c]
 
 
@@ -1596,34 +1611,39 @@ def fused_rollout_stream_flat_chw(
     flops_step = 2 * hw * (p_dim * cfg.fc_dim + cfg.fc_dim * cp)
     # The ping-pong partner is a second ANY-space OUTPUT (no HBM scratch in
     # Mosaic); discarded by the wrapper.
-    out, _ = pl.pallas_call(
-        _make_kernel_stream_flat(
-            cfg, h, w, n_steps, band_h, tile_rows, cp, ccp, rate, cdt
-        ),
-        grid=(b,),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
-            jax.ShapeDtypeStruct((1, cp, hw), jnp.float32),
-        ),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, cp, (band_h + 2) * w), jnp.float32),
-            pltpu.VMEM((2, cp, band_h * w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=2 * b * n_steps * cp * hw * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        out, _ = pl.pallas_call(
+            _make_kernel_stream_flat(
+                cfg, h, w, n_steps, band_h, tile_rows, cp, ccp, rate, cdt
+            ),
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+                jax.ShapeDtypeStruct((1, cp, hw), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, cp, (band_h + 2) * w), jnp.float32),
+                pltpu.VMEM((2, cp, band_h * w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=2 * b * n_steps * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return out.reshape(b, cp, h, w)[:, :c]
 
 

@@ -521,29 +521,34 @@ def _fwd_call(params, x, cond, seed_i32, cfg, n_steps, segment, compute_dtype,
 
     cc = cfg.c_cond if has_cond else 0
     flops_step = 2 * h * w * ((4 * c + cc) * cfg.fc_dim + cfg.fc_dim * c)
-    y, ckpt = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_segments, c, h, w), jnp.float32),
-        ),
-        in_specs=in_specs,
-        out_specs=(
-            block((c, h, w)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, c, h, w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=(2 + n_segments) * b * c * h * w * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        y, ckpt = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_segments, c, h, w), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                block((c, h, w)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, c, h, w), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=(2 + n_segments) * b * c * h * w * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return y, ckpt
 
 
@@ -600,26 +605,31 @@ def _bwd_call(params, ckpt, cond, seed_i32, gy, cfg, n_steps, segment,
         out_specs.append(block((cc, h, w)))
 
     flops_step = 2 * h * w * (3 * (p * f + f * c))  # fwd recompute + 2 bwd mms
-    outs = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=tuple(out_shape),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((segment, c, h, w), jnp.float32),   # states
-            pltpu.VMEM((segment, h, w), jnp.float32),      # masks
-            pltpu.VMEM((c, h, w), jnp.float32),            # gx
-            pltpu.VMEM((4 * c, h, w), jnp.float32),        # gp
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_steps * flops_step,
-            bytes_accessed=2 * n_segments * b * c * h * w * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=tuple(out_shape),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=[
+                pltpu.VMEM((segment, c, h, w), jnp.float32),   # states
+                pltpu.VMEM((segment, h, w), jnp.float32),      # masks
+                pltpu.VMEM((c, h, w), jnp.float32),            # gx
+                pltpu.VMEM((4 * c, h, w), jnp.float32),        # gp
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n_steps * flops_step,
+                bytes_accessed=2 * n_segments * b * c * h * w * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     if has_cond:
         dx0, dw1t, db1, dw2t, db2, dcond = outs
     else:
@@ -1270,29 +1280,34 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
         args.append(condf)
 
     flops_step = 2 * hw * ((4 * cp + ccp) * cfg.fc_dim + cfg.fc_dim * cp)
-    y, ckpt = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_segments, cp, hw), jnp.float32),
-        ),
-        in_specs=in_specs,
-        out_specs=(
-            block((cp, hw)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, cp, hw), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * n_steps * flops_step,
-            bytes_accessed=(2 + n_segments) * b * cp * hw * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        y, ckpt = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_segments, cp, hw), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                block((cp, hw)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, cp, hw), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=(2 + n_segments) * b * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     return y, ckpt
 
 
@@ -1353,26 +1368,31 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
         out_specs.append(block((ccp, hw)))
 
     flops_step = 2 * hw * (3 * (p * f + f * cp))
-    outs = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        out_shape=tuple(out_shape),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
-            (pltpu.VMEM((cp, tile_rows * w + 3 * w), jnp.float32)  # adj band
-             if use_scatter
-             else pltpu.VMEM((4 * cp, hw), jnp.float32)),          # gp
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_steps * flops_step,
-            bytes_accessed=2 * n_segments * b * cp * hw * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*args)
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack (measured: the
+    # 128px flat backward needs 21.7 MB under 'highest'). Pin it here.
+    with jax.default_matmul_precision("default"):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=tuple(out_shape),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=[
+                pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
+                (pltpu.VMEM((cp, tile_rows * w + 3 * w), jnp.float32)  # adj band
+                 if use_scatter
+                 else pltpu.VMEM((4 * cp, hw), jnp.float32)),          # gp
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n_steps * flops_step,
+                bytes_accessed=2 * n_segments * b * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
     if condf is not None and need_dcond:
         dx0, dw1t, db1, dw2t, db2, dcond = outs
     else:
