@@ -1341,10 +1341,11 @@ def fused_rollout_flat_chw(
     ccp = _round8(cc) if cc else 0
     p_dim = 4 * cp + ccp
     hw = h * w
-    # Quarter-grid tiles measured fastest at 256^2 (0.0402 vs 0.0416
-    # ms/step at 4096-px tiles; 2048-px tiles are 45% slower) — fewer
-    # roll/concat invocations per step. 128px grids keep the same tiling.
-    tile_rows = _pick_tile_rows(h, w, max(4096, hw // 4))
+    # Tile-size sweep at 256^2: 2048-px tiles are 45% slower; 4096 and
+    # larger are equivalent for f32 — but bf16 compute DEGRADES 2x at
+    # quarter-grid tiles (the [P, 16384] bf16 percept conversion hits a
+    # slow Mosaic path), so stay at the 4096-px default.
+    tile_rows = _pick_tile_rows(h, w)
     n = tile_rows * w
 
     xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
@@ -1682,11 +1683,6 @@ def fused_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
         return False
     cp = _round8(cfg.c_in)
     hw = h * w
-    # The kernel itself uses quarter-grid tiles (see fused_rollout_flat_chw);
-    # _pick_tile_rows always returns a divisor of H, so the budget below
-    # keeps the 4096-px-tile CALIBRATED estimate as a proxy (Mosaic reuses
-    # forward-kernel tile temporaries across bodies, so the real stack cost
-    # does not scale with tile size).
     tile_rows = _pick_tile_rows(h, w)
     n = tile_rows * w
     est = (
