@@ -220,7 +220,8 @@ def test_fused_train_flat_scatter_grads_match_scan(conditioning):
 
     def lf(p, x, c):
         s, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 8, cond_nhwc=c,
-                                          interpret=True, force_scatter=True)
+                                          interpret=True,
+                                          force_mode="scatter")
         return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
 
     def ls(p, x, c):
@@ -240,22 +241,94 @@ def test_fused_train_flat_scatter_grads_match_scan(conditioning):
 
 def test_plan_flat_train_selection():
     """128px stays on the gather backward; mid-size grids past the gather
-    gp budget get the scatter backward; 256² is a DOCUMENTED negative
-    (Mosaic stack demand ~330 B/pixel regardless of tiling — see
-    plan_flat_train) and falls back to the XLA backward."""
+    gp budget get the scatter backward; 256² (past the unrolled backwards'
+    Mosaic stack wall, ~330 B/grid-pixel) gets the fori-over-tiles 'tiled'
+    backward — the flagship-preset path (BASELINE configs 2-4)."""
     from vsnca_tpu.ops.pallas_train import plan_flat_train
 
     c12 = NCAConfig(c_in=12, fc_dim=96, conditioning="pos_emb",
                     padding_mode="circular")
     plan = plan_flat_train(c12, 128, 128, 64, need_dcond=False)
-    assert plan is not None and plan[1] is False  # gather
+    assert plan is not None and plan[1] == "gather"
     # mid-size grid: gather's whole-grid gp no longer fits -> scatter
     plan = plan_flat_train(c12, 192, 128, 64, need_dcond=False)
-    assert plan is not None and plan[1] is True
-    # 256²: out of scoped-vmem reach for both backwards -> XLA
+    assert plan is not None and plan[1] == "scatter"
+    # 256²: unrolled backwards blow the scoped-vmem stack -> tiled fori
     c13 = NCAConfig(c_in=13, seed_channels=12, fc_dim=96,
                     padding_mode="circular")
-    assert plan_flat_train(c13, 256, 256, 64, need_dcond=False) is None
+    plan = plan_flat_train(c13, 256, 256, 64, need_dcond=False)
+    assert plan is not None and plan[1] == "tiled"
+    # video-motion channel count at 256² also plans (multiscale gating is
+    # fused_train_flat_supported's job, not the VMEM planner's)
+    c16 = NCAConfig(c_in=16, fc_dim=128, padding_mode="circular")
+    plan = plan_flat_train(c16, 256, 256, 64, need_dcond=False)
+    assert plan is not None and plan[1] == "tiled"
+
+
+@pytest.mark.parametrize("conditioning", [None, "pos_emb"])
+def test_fused_train_flat_tiled_grads_match_scan(conditioning):
+    """The TILED fori-over-tiles backward (the 256²-class path) vs jax.grad
+    through the scan: >= 3 row tiles exercise the modular band reads, the
+    delayed-scatter ordering under dynamic tile indices, the parked
+    top-wrap chunk, and the per-tile checkpoint/gy retiling DMAs; 8 steps
+    with segment from the plan exercise the reverse segment walk."""
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    conditioning=conditioning, update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 48, 128, 12)) - 0.5
+    cond = make_conditioning(cfg, (48, 128), batch=2)
+
+    def lf(p, x, c):
+        s, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 8, cond_nhwc=c,
+                                          interpret=True, force_mode="tiled")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    def ls(p, x, c):
+        s, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8, cond=c,
+                               remat="none")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        if conditioning is None:
+            gf = jax.grad(lf, argnums=(0, 1))(params, x, None)
+            gs = jax.grad(ls, argnums=(0, 1))(params, x, None)
+        else:
+            gf = jax.grad(lf, argnums=(0, 1, 2))(params, x, cond)
+            gs = jax.grad(ls, argnums=(0, 1, 2))(params, x, cond)
+    _grads_match(gf, gs)
+
+
+def test_fused_train_flat_tiled_multisegment():
+    """Tiled backward with segment > 1: the in-kernel tiled recompute
+    (fori over k and t with dynamic states indexing) must replay the
+    forward bit-exactly before the reverse walk."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        plan_flat_train,
+    )
+
+    cfg = NCAConfig(c_in=12, fc_dim=16, padding_mode="circular",
+                    update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 128, 12)) - 0.5
+    plan = plan_flat_train(cfg, 32, 128, 12, force_mode="tiled")
+    assert plan is not None and plan[1] == "tiled"
+
+    def lf(p):
+        _, rgb = fused_rollout_train_flat(p, x, 7.0, cfg, 12,
+                                          interpret=True, force_mode="tiled",
+                                          force_segment=4)
+        return jnp.mean(rgb ** 2)
+
+    def ls(p):
+        _, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 12,
+                               remat="none")
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))
 
 
 def test_fused_train_flat_cond_no_grad_param_grads_identical():

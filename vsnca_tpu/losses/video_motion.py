@@ -13,6 +13,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def motion_feature(
@@ -36,8 +37,9 @@ def _motion_gram(f: jnp.ndarray) -> jnp.ndarray:
 
 
 def precompute_target_motion_features(
-    msoe_params, target_video: jnp.ndarray, motion_img_size=(128, 128)
-) -> jnp.ndarray:
+    msoe_params, target_video: jnp.ndarray, motion_img_size=(128, 128),
+    hbm_budget_bytes: int = 4 * 2**30,
+):
     """MSOE motion features of EVERY consecutive target-frame pair, computed
     once per video (the targets are constant across training iterations; the
     reference re-extracts them under no_grad every iteration —
@@ -45,9 +47,22 @@ def precompute_target_motion_features(
 
     target_video: [T, H, W, 3] RGB in [-1, 1]. Returns [T-1, h', w', 320];
     slice the training window's pairs and pass (broadcast over batch) as
-    ``video_motion_loss``'s ``target_features``."""
-    feats = []
-    for t in range(target_video.shape[0] - 1):
+    ``video_motion_loss``'s ``target_features``.
+
+    Returns None when the stacked features would exceed
+    ``hbm_budget_bytes`` (~84 MB per pair at 256px — a long video would OOM
+    HBM at startup; callers then recompute target features per window). The
+    per-pair size is measured from the first pair's actual feature shape,
+    not hard-coded."""
+    n_pairs = int(target_video.shape[0]) - 1
+    first, _ = motion_feature(
+        msoe_params, target_video[0:1], target_video[1:2], motion_img_size
+    )
+    pair_bytes = int(np.prod(first.shape[-3:])) * first.dtype.itemsize
+    if n_pairs * pair_bytes > hbm_budget_bytes:
+        return None
+    feats = [jax.lax.stop_gradient(first[0])]
+    for t in range(1, n_pairs):
         f, _ = motion_feature(
             msoe_params,
             target_video[t : t + 1],
@@ -95,6 +110,12 @@ def video_motion_loss(
     from vsnca_tpu.ops.resize import resize_nearest_1d
 
     assert len(generated_frames) >= 2
+    if target_features is None and target_frames is None:
+        raise ValueError(
+            "video_motion_loss needs target motion supervision: pass either "
+            "target_frames (raw RGB target window, MSOE runs on pairs) or "
+            "target_features (precomputed per-pair MSOE features)"
+        )
 
     loss = 0.0
     flow_g = flow_t = None

@@ -799,7 +799,19 @@ def fused_rollout(
         jnp.transpose(cond_nhwc, (0, 3, 1, 2)) if cond_nhwc is not None else None
     )
     h, w = x.shape[2], x.shape[3]
-    kernel = select_rollout_kernel(cfg, h, w) or "roll"
+    kernel = select_rollout_kernel(cfg, h, w)
+    if kernel is None:
+        # None means "use the XLA scan" (multiscale past the roll kernel's
+        # VMEM cap, replicate padding at streaming sizes, odd widths).
+        # Dispatching the roll kernel anyway would fail the scoped-VMEM
+        # compile, so degrade gracefully to the lax.scan rollout instead.
+        from vsnca_tpu.models.dynca import dynca_rollout
+
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+        return dynca_rollout(
+            params, x_nhwc, key, cfg, n_steps, cond=cond_nhwc,
+            remat="none", update_rate=update_rate,
+        )
     out = ROLLOUT_KERNELS[kernel](
         params, x, seed, cfg, n_steps, cond, update_rate,
         compute_dtype=compute_dtype,

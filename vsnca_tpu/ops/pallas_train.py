@@ -958,6 +958,258 @@ def _make_bwd_kernel_flat(
     return kernel
 
 
+def _make_bwd_kernel_flat_tiled(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    compute_dtype,
+    need_dcond: bool = True,
+):
+    """Fori-over-tiles scatter backward with TILED [n_tiles, cp, n] buffers.
+
+    The unrolled flat backwards hit Mosaic's scoped-vmem stack wall at 256²:
+    the stack allocator does not reuse temporaries across unrolled tile
+    bodies, so demand grows ~330 B per GRID pixel regardless of tile size
+    (docs/ROUND2.md). Here the tile loop is a ``fori_loop`` with ONE body —
+    stack demand is one TILE's temporaries — which requires the per-tile
+    views to be dynamic-index-able: state/gx/cond live as
+    ``[n_tiles, cp, n]`` (tile index on a leading dim, the validated Mosaic
+    dynamic-indexing pattern), retiled from the flat HBM layout by per-tile
+    lane-slice DMAs (checkpoints, gy) or an XLA transpose in the wrapper
+    (cond in, dx0/dcond out). Adjoint scatter + one-tile delay + top-wrap
+    parking are identical to ``_make_bwd_kernel_flat_scatter`` with modular
+    tile arithmetic. This is the path that puts the flagship 256² training
+    presets (BASELINE configs 2-4; reference hot loop
+    ConditioneDyNCA/experiments.py:226) on the fused custom-VJP pair."""
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    n_segments = n_steps // segment
+    hw = h * w
+    assert cfg.padding_mode == "circular"
+    assert n_tiles >= 2, "tiled backward needs >= 2 row tiles"
+    has_cond = ccp > 0
+
+    dn_nn = (((1,), (1,)), ((), ()))
+
+    def kernel(
+        seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+        w1_ref, w2_ref, *rest,
+    ):
+        if has_cond and need_dcond:
+            (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             dcondt_ref, states_ref, adj_ref, dma_sem) = rest
+        elif has_cond:
+            (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, adj_ref, dma_sem) = rest
+            dcondt_ref = None
+        else:
+            (dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+             states_ref, adj_ref, dma_sem) = rest
+            condt_ref = dcondt_ref = None
+
+        bidx = pl.program_id(0)
+
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        if dcondt_ref is not None:
+            dcondt_ref[:] = jnp.zeros_like(dcondt_ref)
+        # dL/dx accumulates IN the tiled dx0 output block; gy is DMA'd in
+        # per tile (lane slices of the flat HBM layout retile for free).
+        for t in range(n_tiles):
+            gl = pltpu.make_async_copy(
+                g_ref.at[bidx, :, pl.ds(t * n, n)], dx0t_ref.at[0, t], dma_sem
+            )
+            gl.start()
+            gl.wait()
+        gxt_ref = dx0t_ref.at[0]  # [n_tiles, cp, n]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+        is_col0 = col == 0
+        is_colw1 = col == w - 1
+        cola = jax.lax.broadcasted_iota(jnp.int32, (1, n + 4 * w), 1) % w
+        a_col0 = cola == 0
+        a_colw1 = cola == w - 1
+
+        def band_of_tiled(k, t):
+            """Flat circular band [cp, n + 2w] for tile t of states[k]:
+            modular leading-dim reads replace _flat_band_circ's static
+            boundary cases."""
+            tp = (t - 1) % n_tiles
+            tn = (t + 1) % n_tiles
+            return jnp.concatenate(
+                [
+                    states_ref[k, tp, :, n - w :],
+                    states_ref[k, t],
+                    states_ref[k, tn, :, : w],
+                ],
+                axis=1,
+            )
+
+        def tile_percept(src_k, t):
+            band = band_of_tiled(src_k, t)
+            cond_tile = condt_ref[0, t] if condt_ref is not None else None
+            return _flat_percept(
+                band, cond_tile, n, w, "circular", compute_dtype,
+                is_col0, is_colw1,
+            )
+
+        def load_ckpt(s):
+            for t in range(n_tiles):
+                d = pltpu.make_async_copy(
+                    ckpt_ref.at[bidx, s, :, pl.ds(t * n, n)],
+                    states_ref.at[0, t], dma_sem,
+                )
+                d.start()
+                d.wait()
+
+        def recompute_segment(s):
+            """states[k] = x_{sK+k} for k in [1, segment): same per-step
+            seeds, same tile order as the forward (bit-exact replay)."""
+            if segment == 1:
+                return
+
+            def one_k(k, carry):
+                pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+
+                def one_t(t, c2):
+                    center, percept = tile_percept(k, t)
+                    mask = _draw_mask_flat(n, thr)
+                    hid = jnp.maximum(
+                        jnp.dot(w1t_ref[:], percept,
+                                preferred_element_type=jnp.float32)
+                        + b1_ref[:].reshape(f, 1),
+                        0.0,
+                    ).astype(compute_dtype)
+                    dx = (
+                        jnp.dot(w2t_ref[:], hid,
+                                preferred_element_type=jnp.float32)
+                        + b2_ref[:].reshape(cp, 1)
+                    )
+                    states_ref[k + 1, t] = center + dx * mask
+                    return c2
+
+                jax.lax.fori_loop(0, n_tiles, one_t, 0)
+                return carry
+
+            jax.lax.fori_loop(0, segment - 1, one_k, 0)
+
+        def adj_of(gp_tile):
+            """Adjoint-stencil band [cp, n + 2w] from one tile's gp [4cp, n]
+            zero-padded on both sides (cross-tile halo contributions emerge
+            as the band's ±1-row edges)."""
+            z = jnp.zeros((4 * cp, 2 * w), gp_tile.dtype)
+            gpb = jnp.concatenate([z, gp_tile, z], axis=1)  # [4cp, n+4w]
+            left, band, right = _flat_neighbors(
+                gpb, n + 2 * w, w, "circular", a_col0, a_colw1
+            )
+
+            def nb_g(g):
+                def nb(di, dj):
+                    arr = (left, band, right)[dj]
+                    return arr[g * cp : (g + 1) * cp,
+                               di * w : di * w + n + 2 * w]
+
+                return nb
+
+            return (
+                band[0:cp, w : w + n + 2 * w]
+                + _stencil_from(nb_g(1), SOBEL_X_F)
+                + _stencil_from(nb_g(2), SOBEL_Y_F)
+                + _stencil_from(nb_g(3), LAPLACIAN_F)
+            )
+
+        def backward_step(s, k):
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
+
+            def tile_body(t, carry):
+                _, percept = tile_percept(k, t)
+                mask = _draw_mask_flat(n, thr)
+                z1 = (
+                    jnp.dot(w1t_ref[:], percept,
+                            preferred_element_type=jnp.float32)
+                    + b1_ref[:].reshape(f, 1)
+                )
+                hid = jnp.maximum(z1, 0.0).astype(compute_dtype)
+                gdx = (gxt_ref[t] * mask).astype(compute_dtype)
+                gz1 = jnp.where(
+                    z1 > 0.0,
+                    jnp.dot(w2_ref[:], gdx,
+                            preferred_element_type=jnp.float32),
+                    0.0,
+                ).astype(compute_dtype)
+                gp = jax.lax.dot_general(
+                    w1_ref[:], gz1,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P, n]
+                if dcondt_ref is not None:
+                    dcondt_ref[0, t] += gp[4 * cp :]
+                dw1t_ref[0] += jax.lax.dot_general(
+                    gz1, percept, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
+                dw2t_ref[0] += jax.lax.dot_general(
+                    gdx, hid, dimension_numbers=dn_nn,
+                    preferred_element_type=jnp.float32,
+                )
+                db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
+
+                # Delayed scatter: tile t-1's adjoint lands AFTER this
+                # tile's pass-1 read of its (overlapping) first row; tile
+                # 0's top-wrap chunk (last tile's rows — its pass-1 runs
+                # last) parks in adj_ref's spare last w lanes.
+                @pl.when(t > 0)
+                def _():
+                    j = t - 1
+                    adj = adj_ref[:, : n + 2 * w]
+                    gxt_ref[j] += adj[:, w : w + n]
+                    gxt_ref[t, :, : w] += adj[:, n + w :]
+
+                    @pl.when(j == 0)
+                    def _():
+                        adj_ref[:, n + 2 * w :] = adj[:, : w]
+
+                    @pl.when(j > 0)
+                    def _():
+                        gxt_ref[j - 1, :, n - w :] += adj[:, : w]
+
+                adj_ref[:, : n + 2 * w] = adj_of(gp[: 4 * cp])
+                return carry
+
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+            # Final scatter: the last tile's adjoint, then the parked chunk.
+            jlast = n_tiles - 1
+            adj = adj_ref[:, : n + 2 * w]
+            gxt_ref[jlast] += adj[:, w : w + n]
+            gxt_ref[0, :, : w] += adj[:, n + w :]
+            gxt_ref[jlast - 1, :, n - w :] += adj[:, : w]
+            gxt_ref[jlast, :, n - w :] += adj_ref[:, n + 2 * w :]
+
+        def per_segment(si, carry):
+            s = n_segments - 1 - si
+            load_ckpt(s)
+            recompute_segment(s)
+            jax.lax.fori_loop(
+                0, segment,
+                lambda ki, cc_: backward_step(s, segment - 1 - ki) or cc_, 0,
+            )
+            return carry
+
+        jax.lax.fori_loop(0, n_segments, per_segment, 0)
+
+    return kernel
+
+
 def _make_bwd_kernel_flat_scatter(
     cfg: NCAConfig,
     h: int,
@@ -1183,16 +1435,50 @@ def bwd_flat_vmem_bytes_estimate(
     return buf + tiles
 
 
-def plan_flat_train(
-    cfg: NCAConfig, h: int, w: int, n_steps: int, need_dcond: bool = True
-) -> Optional[Tuple[int, bool]]:
-    """(segment, use_scatter) for the flat VJP pair, or None.
+def bwd_tiled_vmem_bytes_estimate(
+    cp: int, hw: int, fc_dim: int, ccp: int, segment: int, n: int, w: int,
+    need_dcond: bool = True,
+) -> int:
+    """VMEM demand of the fori-over-tiles backward: whole-grid buffers are
+    exact; the tile-body stack term is calibrated against the measured
+    ~330 B/pixel of the unrolled bodies, halved because a single fori body
+    lets Mosaic reuse within one body's live ranges (validated on hardware;
+    see docs/ROUND3.md)."""
+    buf = 4 * (
+        segment * cp * hw      # states (tiled layout, same byte count)
+        + cp * hw              # dx0/gx tiled output block
+        + (ccp * hw if ccp else 0)                   # cond tiled input
+        + (ccp * hw if (ccp and need_dcond) else 0)  # dcond tiled output
+    )
+    buf += 4 * cp * (n + 3 * w)  # adjoint band + parked top-wrap chunk
+    tile = 4 * n * (
+        (4 * cp + ccp) * 2 + 3 * fc_dim + 8 * cp
+    ) // 2
+    return buf + tile
 
-    Prefers the gather backward (whole-grid gp in VMEM — measured at 128px);
-    the scatter backward extends coverage to grids where gp alone would
-    blow VMEM (256²+). ``need_dcond=False`` (the trainer's case: cond is a
-    positional constant or stop-gradient'd edge map) drops the conditioning
-    cotangent output from the budget."""
+
+def plan_flat_train(
+    cfg: NCAConfig, h: int, w: int, n_steps: int, need_dcond: bool = True,
+    force_mode: Optional[str] = None,
+) -> Optional[Tuple[int, str, int]]:
+    """(segment, mode, tile_rows) for the flat VJP pair, or None.
+
+    Modes, in preference order:
+    - 'gather': whole-grid perception cotangent in VMEM (measured fastest
+      at 128px).
+    - 'scatter': per-tile adjoint scatter, no gp buffer — mid-size grids.
+      Both unrolled backwards stop at H·W <= 32k px: Mosaic's stack
+      allocator does not reuse temporaries across unrolled tile bodies
+      (~330 B/grid-pixel regardless of tile size, docs/ROUND2.md).
+    - 'tiled': fori-over-tiles scatter backward with [n_tiles, cp, n]
+      buffers — ONE tile body, so the stack holds one tile's temporaries.
+      Extends the fused pair to the flagship 256² presets; tile size is
+      part of the plan (fwd/bwd must draw masks in the same tile order).
+
+    ``need_dcond=False`` (the trainer's case: cond is a positional constant
+    or stop-gradient'd edge map) drops the conditioning cotangent output
+    from the budget. ``force_mode`` restricts the search to one mode (tests,
+    A/B benchmarks)."""
     cp = _round8(cfg.c_in)
     ccp = _round8(cfg.c_cond) if cfg.conditioning else 0
     tile_rows = _flat_tile_rows(h, w)
@@ -1205,24 +1491,42 @@ def plan_flat_train(
     # measured 7.74 ms (k=1) vs 8.05 ms (k=2) on the 64-step 128px gradient.
     # (HBM checkpoints grow to n_steps*batch*state at k=1: <= ~1.5 GB for
     # every supported grid size.)
-    for scatter in (False, True):
-        if scatter and n_tiles < 2:
+    modes = ("gather", "scatter", "tiled")
+    if force_mode is not None:
+        modes = (force_mode,)
+    for mode in modes:
+        if mode == "scatter" and (n_tiles < 2 or h * w > 32768):
             continue
-        if scatter and h * w > 32768:
-            # Measured negative (v5e, docs/ROUND2.md): Mosaic's stack
-            # allocator does not reuse temporaries across the scatter
-            # backward's tile bodies — scoped-vmem demand grows ~330 B per
-            # grid pixel (28.9M at 256^2 vs the 16M limit), independent of
-            # tile size. The scatter path therefore extends the flat VJP to
-            # mid-size grids only; 256^2+ stays on the XLA backward.
+        if mode == "gather" and h * w > 32768 and force_mode is None:
+            continue  # whole-grid gp alone approaches the scoped limit
+        if mode == "tiled":
+            # Tile size is a free parameter here (smaller tiles shrink the
+            # single body's stack); it must divide H and keep >= 2 tiles.
+            for tr in sorted(
+                {t for t in (tile_rows, tile_rows // 2, tile_rows // 4,
+                             tile_rows // 8, 1)
+                 if t >= 1 and tile_rows % max(t, 1) == 0},
+                reverse=True,
+            ):
+                nt = tr * w
+                if h // tr < 2:
+                    continue
+                for k in (1, 2, 4, 8, 16):
+                    if n_steps % k:
+                        continue
+                    if bwd_tiled_vmem_bytes_estimate(
+                            cp, h * w, cfg.fc_dim, ccp, k, nt, w, need_dcond
+                    ) < 14 * 2**20:
+                        return k, "tiled", tr
             continue
         for k in (1, 2, 4, 8, 16):
             if n_steps % k:
                 continue
             if bwd_flat_vmem_bytes_estimate(
-                    cp, h * w, cfg.fc_dim, ccp, k, n, w, scatter, need_dcond
+                    cp, h * w, cfg.fc_dim, ccp, k, n, w, mode == "scatter",
+                    need_dcond,
             ) < 13 * 2**20:
-                return k, scatter
+                return k, mode, tile_rows
     return None
 
 
@@ -1256,10 +1560,11 @@ def _flat_shapes(cfg: NCAConfig, has_cond: bool):
 
 
 def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
-                   compute_dtype, interpret, h, w):
+                   compute_dtype, interpret, h, w, tile_rows=None):
     b, cp, hw = xf.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _flat_tile_rows(h, w)
+    if tile_rows is None:
+        tile_rows = _flat_tile_rows(h, w)
     n_segments = n_steps // segment
     kernel = _make_fwd_kernel_flat(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
@@ -1317,17 +1622,20 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
 
 
 def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
-                   compute_dtype, interpret, h, w, force_scatter=False,
-                   need_dcond=True):
+                   compute_dtype, interpret, h, w, mode="gather",
+                   tile_rows=None, need_dcond=True):
     b, n_segments, cp, hw = ckpt.shape
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
-    tile_rows = _flat_tile_rows(h, w)
+    if tile_rows is None:
+        tile_rows = _flat_tile_rows(h, w)
     f = cfg.fc_dim
     p = 4 * cp + ccp
-    plan = plan_flat_train(cfg, h, w, n_steps, need_dcond)
-    assert plan is not None and plan[0] == segment, (plan, segment)
-    use_scatter = plan[1] or force_scatter
-    make = (_make_bwd_kernel_flat_scatter if use_scatter
+    if mode == "tiled":
+        return _bwd_call_flat_tiled(
+            params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
+            compute_dtype, interpret, h, w, tile_rows, need_dcond,
+        )
+    make = (_make_bwd_kernel_flat_scatter if mode == "scatter"
             else _make_bwd_kernel_flat)
     kernel = make(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
@@ -1387,7 +1695,7 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
             scratch_shapes=[
                 pltpu.VMEM((segment, cp, hw), jnp.float32),   # states
                 (pltpu.VMEM((cp, tile_rows * w + 3 * w), jnp.float32)  # adj band
-                 if use_scatter
+                 if mode == "scatter"
                  else pltpu.VMEM((4 * cp, hw), jnp.float32)),          # gp
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -1417,8 +1725,120 @@ def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
     return dparams, dx0, dcond
 
 
+def _tile4(a, n_tiles):
+    """[B, C, H*W] -> [B, n_tiles, C, n] (XLA transpose, once per call)."""
+    b, c, hw = a.shape
+    return a.reshape(b, c, n_tiles, hw // n_tiles).transpose(0, 2, 1, 3)
+
+
+def _untile4(a):
+    """[B, n_tiles, C, n] -> [B, C, H*W]."""
+    b, nt, c, n = a.shape
+    return a.transpose(0, 2, 1, 3).reshape(b, c, nt * n)
+
+
+def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
+                         segment, compute_dtype, interpret, h, w, tile_rows,
+                         need_dcond):
+    """Backward dispatch for the fori-over-tiles kernel: cond rides in (and
+    dx0/dcond come out) in the tiled [n_tiles, cp, n] layout; checkpoints
+    and gy stay flat in HBM (the kernel retiles them with per-tile
+    lane-slice DMAs)."""
+    b, n_segments, cp, hw = ckpt.shape
+    c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
+    f = cfg.fc_dim
+    p = 4 * cp + ccp
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    kernel = _make_bwd_kernel_flat_tiled(
+        cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
+        jnp.dtype(compute_dtype), need_dcond,
+    )
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
+    w1p = w1t.T
+    w2p = w2t.T
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # ckpt (flat HBM)
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # gy (flat HBM)
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+        rep(w1p.shape), rep(w2p.shape),
+    ]
+    args = [seed_i32.reshape(1), ckpt, gy, w1t, b1, w2t, b2, w1p, w2p]
+    if condf is not None:
+        condt = _tile4(condf, n_tiles)
+        in_specs.append(block(condt.shape[1:]))
+        args.append(condt)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_tiles, cp, n), jnp.float32),  # dx0 tiled
+        jax.ShapeDtypeStruct((b, f, p), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+        jax.ShapeDtypeStruct((b, cp, f), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+    ]
+    out_specs = [
+        block((n_tiles, cp, n)), block((f, p)), block((1, f)),
+        block((cp, f)), block((1, cp)),
+    ]
+    if condf is not None and need_dcond:
+        out_shape.append(jax.ShapeDtypeStruct((b, n_tiles, ccp, n),
+                                              jnp.float32))
+        out_specs.append(block((n_tiles, ccp, n)))
+
+    flops_step = 2 * hw * (3 * (p * f + f * cp))
+    # Kernel matmuls are validated at DEFAULT matmul precision; a global
+    # 'highest' setting would expand them into multi-pass sequences whose
+    # temporaries blow Mosaic's 16 MB scoped-vmem stack. Pin it here.
+    with jax.default_matmul_precision("default"):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=tuple(out_shape),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=[
+                pltpu.VMEM((segment, n_tiles, cp, n), jnp.float32),  # states
+                pltpu.VMEM((cp, n + 3 * w), jnp.float32),  # adj band + park
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n_steps * flops_step,
+                bytes_accessed=2 * n_segments * b * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+    if condf is not None and need_dcond:
+        dx0t, dw1t, db1, dw2t, db2, dcondt = outs
+        dcond = _untile4(dcondt)
+    else:
+        dx0t, dw1t, db1, dw2t, db2 = outs[:5]
+        dcond = None
+    dx0 = _untile4(dx0t)
+    dw1p = jnp.sum(dw1t, axis=0).T
+    rows = [dw1p[k * cp : k * cp + c] for k in range(4)]
+    if cc:
+        rows.append(dw1p[4 * cp : 4 * cp + cc])
+    dparams = {
+        "w1": jnp.concatenate(rows, axis=0).astype(params["w1"].dtype),
+        "b1": jnp.sum(db1, axis=(0, 1)).astype(params["b1"].dtype),
+        "w2": jnp.sum(dw2t, axis=0).T[:, :c].astype(params["w2"].dtype),
+        "b2": jnp.sum(db2, axis=(0, 1))[:c].astype(params["b2"].dtype),
+    }
+    return dparams, dx0, dcond
+
+
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def fused_rollout_train_flat_hw(
     params: dict,
     xf: jnp.ndarray,
@@ -1431,35 +1851,38 @@ def fused_rollout_train_flat_hw(
     interpret: bool,
     h: int,
     w: int,
-    force_scatter: bool = False,
+    mode: str = "gather",
+    tile_rows: Optional[int] = None,
     need_dcond: bool = True,
 ) -> jnp.ndarray:
     """Differentiable flat-layout fused rollout on [B, ceil8(C), H*W] state
-    (+ padded flat cond). Gradients flow to params, xf, condf."""
+    (+ padded flat cond). Gradients flow to params, xf, condf. ``mode`` and
+    ``tile_rows`` come from ``plan_flat_train`` (the forward must draw masks
+    in the backward's tile order, so tile size is part of the plan)."""
     y, _ = _fwd_call_flat(
         params, xf, condf, seed_f.astype(jnp.int32), cfg, n_steps, n_steps,
-        compute_dtype, interpret, h, w,
+        compute_dtype, interpret, h, w, tile_rows,
     )
     return y
 
 
 def _train_fwd_flat(params, xf, condf, seed_f, cfg, n_steps, segment,
-                    compute_dtype, interpret, h, w, force_scatter=False,
-                    need_dcond=True):
+                    compute_dtype, interpret, h, w, mode="gather",
+                    tile_rows=None, need_dcond=True):
     seed_i32 = seed_f.astype(jnp.int32)
     y, ckpt = _fwd_call_flat(
         params, xf, condf, seed_i32, cfg, n_steps, segment, compute_dtype,
-        interpret, h, w,
+        interpret, h, w, tile_rows,
     )
     return y, (params, ckpt, condf, seed_i32)
 
 
 def _train_bwd_flat(cfg, n_steps, segment, compute_dtype, interpret, h, w,
-                    force_scatter, need_dcond, res, gy):
+                    mode, tile_rows, need_dcond, res, gy):
     params, ckpt, condf, seed_i32 = res
     dparams, dx0, dcond = _bwd_call_flat(
         params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
-        compute_dtype, interpret, h, w, force_scatter, need_dcond,
+        compute_dtype, interpret, h, w, mode, tile_rows, need_dcond,
     )
     if condf is not None and dcond is None:
         dcond = jnp.zeros_like(condf)
@@ -1478,17 +1901,26 @@ def fused_rollout_train_flat(
     cond_nhwc: Optional[jnp.ndarray] = None,
     compute_dtype: str = "float32",
     interpret: bool = False,
-    force_scatter: bool = False,
+    force_mode: Optional[str] = None,
     cond_no_grad: bool = False,
+    force_segment: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC wrapper for the FLAT custom-VJP kernel pair: returns
     (state, rgb) like ``dynca_rollout``, differentiable through the fused
     kernels. Channel pad/flatten happens inside the differentiated graph, so
-    cotangents flow back through the (linear) reshape/pad exactly."""
+    cotangents flow back through the (linear) reshape/pad exactly.
+    ``force_mode`` pins the backward variant ('gather'/'scatter'/'tiled')
+    and ``force_segment`` the checkpoint interval, for tests and A/B
+    benchmarks."""
     b, h, w, _ = x_nhwc.shape
-    plan = plan_flat_train(cfg, h, w, n_steps, need_dcond=not cond_no_grad)
+    plan = plan_flat_train(
+        cfg, h, w, n_steps, need_dcond=not cond_no_grad, force_mode=force_mode
+    )
     assert plan is not None, "flat fused training path unsupported"
-    segment = plan[0]
+    segment, mode, tile_rows = plan
+    if force_segment is not None:
+        assert n_steps % force_segment == 0
+        segment = force_segment
     c, cp, cc, ccp = _flat_shapes(cfg, cond_nhwc is not None)
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
     xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(
@@ -1502,7 +1934,7 @@ def fused_rollout_train_flat(
         ).reshape(b, ccp, h * w).astype(jnp.float32)
     out = fused_rollout_train_flat_hw(
         params, xf, condf, jnp.asarray(seed_f, jnp.float32), cfg, n_steps,
-        segment, compute_dtype, interpret, h, w, force_scatter,
+        segment, compute_dtype, interpret, h, w, mode, tile_rows,
         not cond_no_grad,
     )
     state = out.reshape(b, cp, h, w)[:, :c]

@@ -225,21 +225,14 @@ def main():
             precompute_target_motion_features,
         )
 
-        # The per-pair 320-channel feature is h'*w'*320*4 bytes (~84 MB at
-        # 256px); cap the total so a long video can't OOM HBM at startup —
-        # past the cap, fall back to per-window frame recompute.
-        mh, mw = loss_cfg.motion_img_size
-        pair_bytes = mh * mw * 320 * 4
-        n_pairs = int(target_video.shape[0]) - 1
-        budget = 4 * 2**30
-        if n_pairs * pair_bytes <= budget:
-            motion_feats = precompute_target_motion_features(
-                msoe, target_video, loss_cfg.motion_img_size
-            )
-        else:
-            print(f"[vsnca_tpu] skipping motion-feature precompute: "
-                  f"{n_pairs} pairs x {pair_bytes/2**20:.0f} MB exceeds the "
-                  f"{budget/2**30:.0f} GB budget; recomputing per window")
+        # The helper enforces the HBM budget itself (None past it — a long
+        # video would OOM at startup; we then recompute per window).
+        motion_feats = precompute_target_motion_features(
+            msoe, target_video, loss_cfg.motion_img_size
+        )
+        if motion_feats is None:
+            print("[vsnca_tpu] skipping motion-feature precompute: video "
+                  "too long for the HBM budget; recomputing per window")
 
     rng = np.random.RandomState(args.seed)
     t0 = time.time()

@@ -335,6 +335,15 @@ class DyNCATrainer:
             # The fused Pallas custom-VJP kernels have no SPMD partitioning
             # rule — under a data-parallel mesh the batch-sharded states
             # must stay on the XLA rollout (GSPMD partitions it cleanly).
+            # An EXPLICIT 'fused' request is an error (make_train_step
+            # asserts loudly in the same situation); 'auto' downgrades.
+            if rollout_path == "fused":
+                raise ValueError(
+                    "rollout_path='fused' is incompatible with a "
+                    "data-parallel mesh: the fused custom-VJP kernels have "
+                    "no SPMD partitioning rule. Use rollout_path='auto' or "
+                    "'xla' with mesh=..."
+                )
             rollout_path = "xla"
         if rollout_path in ("auto", "fused") and jax.default_backend() == "tpu":
             from vsnca_tpu.ops.pallas_train import (

@@ -102,15 +102,12 @@ class VideoMotionProtocol:
                     self.train_cfg.img_size,
                 )
             if self.loss_cfg.video_motion_weight and msoe_params is not None:
-                # Budget guard: ~84 MB per pair at 256px; long videos fall
-                # back to per-window recompute instead of OOMing HBM.
-                mh, mw = self.loss_cfg.motion_img_size
-                n_pairs = int(self.target_video.shape[0]) - 1
-                if n_pairs * mh * mw * 320 * 4 <= 4 * 2**30:
-                    self._motion_feats = precompute_target_motion_features(
-                        msoe_params, self.target_video,
-                        self.loss_cfg.motion_img_size,
-                    )
+                # The helper enforces the HBM budget itself (None past it;
+                # we then recompute target features per window).
+                self._motion_feats = precompute_target_motion_features(
+                    msoe_params, self.target_video,
+                    self.loss_cfg.motion_img_size,
+                )
         trainer = self._build_trainer(vgg_params, msoe_params)
 
         # ---- warmup ----
