@@ -20,6 +20,12 @@ def main():
     p.add_argument("--field", default="circular")
     p.add_argument("--img-size", type=int, default=128)
     p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--recalibrate-every", type=int, default=500,
+                   help="motion_weight_change_interval: reset the vector-"
+                        "field weight from median(appearance)/50 "
+                        "(fit_vector_field_motion.py:264-266)")
+    p.add_argument("--save-every", type=int, default=500,
+                   help="dump 1x/2x control videos + flow/vec-field images")
     p.add_argument("--out", default="out/vector_field")
     args = p.parse_args()
 
@@ -30,7 +36,7 @@ def main():
     from vsnca_tpu.models.msoe import load_msoe
     from vsnca_tpu.models.vgg import load_vgg16
     from vsnca_tpu.train.presets import vector_field_motion
-    from vsnca_tpu.train.trainer import DyNCATrainer
+    from vsnca_tpu.train.vector_field_protocol import VectorFieldProtocol
     from vsnca_tpu.utils.logging import MetricsLogger
     from vsnca_tpu.utils.video_writer import generate_control_videos
 
@@ -48,15 +54,23 @@ def main():
 
     vgg, _ = load_vgg16()
     msoe, _ = load_msoe()
-    trainer = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
-                           msoe_params=msoe)
     logger = MetricsLogger(args.out)
 
-    for i in range(train_cfg.max_iterations):
-        log = trainer.train_iteration({"target_style": style})
-        if i % 10 == 0:
-            logger.log_scalars(i, {"loss": log.loss, **log.logs})
-            print(f"iter {i} loss={log.loss:.4f}")
+    # The full fit_vector_field_motion.py protocol: periodic motion-weight
+    # recalibration from the appearance-loss median + periodic 1x/2x
+    # control-video and flow/vec-field dumps.
+    proto = VectorFieldProtocol(
+        nca_cfg, loss_cfg, train_cfg, style,
+        recalibrate_every=args.recalibrate_every,
+        save_every=args.save_every, out_dir=args.out,
+    )
+
+    def cb(phase, i, log):
+        logger.log_scalars(i, {"loss": log.loss, **log.logs})
+        print(f"iter {i} loss={log.loss:.4f} "
+              f"vf_weight={proto.loss_cfg.vector_field_motion_weight:.3f}")
+
+    trainer = proto.run(vgg, msoe, log_every=10, callback=cb)
 
     save_checkpoint(os.path.join(args.out, "checkpoint"),
                     {"params": trainer.params, "iteration": trainer.iteration})

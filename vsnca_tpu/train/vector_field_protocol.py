@@ -168,6 +168,8 @@ class VectorFieldProtocol:
             n_frames=self.video_frames,
             step_n=self.loss_cfg.nca_base_num_steps, size_factor=2.0,
         )
+        from PIL import Image
+
         if msoe_params is not None and len(frames) >= 2:
             a = jnp.asarray(frames[-2][None] * 2.0 - 1.0)
             b = jnp.asarray(frames[-1][None] * 2.0 - 1.0)
@@ -177,15 +179,15 @@ class VectorFieldProtocol:
                 flow_to_image(flow)[None].astype(np.float32) / 255.0,
                 os.path.join(self.out_dir, f"flow_gen{i}.jpg"),
             )
-            plot_vec_field(
-                flow, name="generated",
-            ).save(os.path.join(self.out_dir, f"vec_field_gen{i}.png"))
+            Image.fromarray(plot_vec_field(flow, name="generated")).save(
+                os.path.join(self.out_dir, f"vec_field_gen{i}.png")
+            )
         target = np.asarray(
             get_motion_vector_field_by_name(
                 self.loss_cfg.motion_vector_field_name,
                 self.loss_cfg.motion_img_size,
             )
         )[0]
-        plot_vec_field(target, name="target").save(
+        Image.fromarray(plot_vec_field(target, name="target")).save(
             os.path.join(self.out_dir, "vec_field_target.png")
         )
