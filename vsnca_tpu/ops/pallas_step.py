@@ -1177,6 +1177,125 @@ def _flat_percept(band, cond_tile, n, w, pad_mode, compute_dtype,
     return center, percept
 
 
+_MS_HALO = 5  # state rows of halo each side for the scale-(0,1) pipeline
+
+
+def _ms_masks(n: int, w: int, t0, h: int):
+    """Mask bundle for the scale-(0,1) flat pipeline on a
+    [*, n + 2*_MS_HALO*w] band whose first halo row is GLOBAL row
+    ``t0 - _MS_HALO`` (mod h, circular). ``t0`` may be a traced int (the
+    fori-over-tiles backward); every position-dependent coefficient is
+    derived from the global row/col index, so any tile offset and any
+    tile_rows parity is correct. Requires h % 2 == 0 and w % 2 == 0."""
+    hb = _MS_HALO
+    nb = n + 2 * hb * w
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % w
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) // w
+    grow = (t0 - hb + rowi) % h  # global row of each band position
+    scol = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+    return {
+        "col0": col == 0,
+        "colw1": col == w - 1,
+        "col_lt2": col < 2,
+        "col_gew2": col >= w - 2,
+        "colw2": col == w - 2,
+        "even_col": col % 2 == 0,
+        "even_row": grow % 2 == 0,
+        "grow0": grow == 0,
+        "growlast": grow == h - 1,
+        "growhm2": grow == h - 2,
+        "sub_col0": scol == 0,
+        "sub_colw1": scol == w - 1,
+    }
+
+
+def _flat_percept_ms(band, cond_tile, n, w, compute_dtype, msk):
+    """(center [cp, n], percept [P, n]) for perception_scales == (0, 1) from
+    a flat band [cp, n + 2*_MS_HALO*w] (circular padding, _MS_HALO-row
+    halos each side).
+
+    Scale 1 == resize_bilinear 2x down -> perceive -> resize_bilinear 2x up
+    (ops/perception.py::perceive_multiscale, reference
+    ConditioneDyNCA/models/dynca.py:98-115) computed WITHOUT materializing
+    the half grid: all values live at 'anchor' positions (even global
+    row & col) of the full-res flat band, so every tap is an aligned lane
+    roll — no strided gathers, no relayouts:
+      * the 2x half-pixel-center downsample at integer factor 2 is the
+        exact 2x2 cell average, evaluated at anchors;
+      * the half-res 3x3 stencils read anchors +-2 rows/lanes under
+        circular wrap (W-wrap corrections at the row-boundary columns);
+      * the 2x upsample is the 0.75/0.25 two-tap interpolation with edge
+        CLAMP at global rows/cols 0 and last (align_corners=False).
+    Non-anchor lanes carry garbage through D/S; the upsample only ever
+    reads anchors, so they never surface."""
+    cp = band.shape[0]
+    hb = _MS_HALO
+    nb = band.shape[-1]
+
+    def sh(x, k):
+        """out[p] = x[p + k] (circular flat lane shift)."""
+        return pltpu.roll(x, (nb - k) % nb, axis=1)
+
+    # ---- scale 0: the 1-row-halo percept on the inner sub-band ----
+    sub = band[:, (hb - 1) * w : (hb + 1) * w + n]
+    center, p0 = _flat_percept(
+        sub, None, n, w, "circular", jnp.float32,
+        msk["sub_col0"], msk["sub_colw1"],
+    )
+
+    # ---- scale 1 ----
+    # D: 2x2 cell average (valid at anchors; odd lanes/rows are garbage).
+    d = 0.25 * (band + sh(band, 1) + sh(band, w) + sh(band, w + 1))
+
+    # S: shared half-res 3x3 stencil taps — +-2 rows / +-2 lanes of d.
+    lt2, gew2 = msk["col_lt2"], msk["col_gew2"]
+    taps = {}
+    for di in range(3):
+        for dj in range(3):
+            k = 2 * (di - 1) * w + 2 * (dj - 1)
+            t_ = sh(d, k)
+            if dj == 0:  # reads p-2: half-res W wrap at cols {0, 1}
+                t_ = jnp.where(lt2, sh(d, k + w), t_)
+            elif dj == 2:  # reads p+2: half-res W wrap at cols {w-2, w-1}
+                t_ = jnp.where(gew2, sh(d, k - w), t_)
+            taps[(di, dj)] = t_
+
+    def nb_fn(di, dj):
+        return taps[(di, dj)]
+
+    s1 = jnp.concatenate(
+        [
+            d,
+            _stencil_from(nb_fn, SOBEL_X),
+            _stencil_from(nb_fn, SOBEL_Y),
+            _stencil_from(nb_fn, LAPLACIAN),
+        ],
+        axis=0,
+    )  # [4cp, nb], valid at anchors
+
+    # U over W: even col p -> 0.75 s[p] + 0.25 s[p-2] (clamped at col 0);
+    # odd col p -> 0.75 s[p-1] + 0.25 s[p+1] (clamped at col w-1).
+    sm2 = jnp.where(msk["col0"], s1, sh(s1, -2))
+    sm1 = sh(s1, -1)
+    sp1 = jnp.where(msk["colw1"], sm1, sh(s1, 1))
+    uw = jnp.where(
+        msk["even_col"], 0.75 * s1 + 0.25 * sm2, 0.75 * sm1 + 0.25 * sp1
+    )
+    # U over H: even global row -> 0.75 u[r] + 0.25 u[r-2] (clamped at
+    # global row 0); odd -> 0.75 u[r-1] + 0.25 u[r+1] (clamped at h-1).
+    um2 = jnp.where(msk["grow0"], uw, sh(uw, -2 * w))
+    um1 = sh(uw, -w)
+    up1 = jnp.where(msk["growlast"], um1, sh(uw, w))
+    p1 = jnp.where(
+        msk["even_row"], 0.75 * uw + 0.25 * um2, 0.75 * um1 + 0.25 * up1
+    )
+
+    percept = 0.5 * (p0 + p1[:, hb * w : hb * w + n])
+    if cond_tile is not None:
+        percept = jnp.concatenate([percept, cond_tile], axis=0)
+    return center, percept.astype(compute_dtype)
+
+
 def _flat_tile_update(
     band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
     cp, f, n, w, thr, pad_mode, compute_dtype, is_col0, is_colw1,
