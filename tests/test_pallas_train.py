@@ -355,3 +355,111 @@ def test_fused_train_flat_cond_no_grad_param_grads_identical():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+# ------------------------------------------------- multiscale (0,1) tiled pair
+
+
+@pytest.mark.parametrize("conditioning", [None, "pos_emb"])
+def test_fused_train_flat_tiled_ms_grads_match_scan(conditioning):
+    """perception_scales (0,1) through the tiled pair (the video-motion
+    preset's percept, fit_video_motion.py:129-130 / models/dynca.py:98-111)
+    vs jax.grad through the XLA scan: exercises the anchor-lane ms percept
+    inside recompute/pass-1 and the transposed down/stencil/up adjoint with
+    4-row scatter edges. Forward is bitwise (same masks, same order)."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        plan_flat_train,
+    )
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    perception_scales=(0, 1), conditioning=conditioning,
+                    update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=2)
+    plan = plan_flat_train(cfg, 16, 128, 6)
+    assert plan is not None and plan[1] == "tiled"
+
+    def lf(p, x, c):
+        s, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 6, cond_nhwc=c,
+                                          interpret=True)
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    def ls(p, x, c):
+        s, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 6, cond=c,
+                               remat="none")
+        return jnp.sum(rgb ** 2) + 0.1 * jnp.sum(s ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        if conditioning is None:
+            gf = jax.grad(lf, argnums=(0, 1))(params, x, None)
+            gs = jax.grad(ls, argnums=(0, 1))(params, x, None)
+        else:
+            gf = jax.grad(lf, argnums=(0, 1, 2))(params, x, cond)
+            gs = jax.grad(ls, argnums=(0, 1, 2))(params, x, cond)
+    _grads_match(gf, gs)
+
+
+def test_fused_train_flat_tiled_ms_multisegment():
+    """ms + segment>1: the tiled in-kernel recompute must replay the ms
+    percept bit-exactly before the reverse walk (4 tiles, 2 segments)."""
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    perception_scales=(0, 1), update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 128, 8)) - 0.5
+
+    def lf(p):
+        _, rgb = fused_rollout_train_flat(p, x, 7.0, cfg, 8,
+                                          interpret=True, force_segment=4)
+        return jnp.mean(rgb ** 2)
+
+    def ls(p):
+        _, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8,
+                               remat="none")
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))
+
+
+def test_fused_train_flat_tiled_ms_tr4_multitile_bands():
+    """tile_rows=4 < _MS_HALO: the 5-row percept halo spans TWO neighbor
+    tiles per side (_tiled_band's multi-tile path) and the 4-row adjoint
+    reach covers a FULL neighbor tile — the 256^2 ms plan's geometry."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        plan_flat_train,
+    )
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    perception_scales=(0, 1), update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 128, 8)) - 0.5
+    assert plan_flat_train(cfg, 8, 128, 4) == (1, "tiled", 4)
+
+    def lf(p):
+        _, rgb = fused_rollout_train_flat(p, x, 5.0, cfg, 4, interpret=True)
+        return jnp.mean(rgb ** 2)
+
+    def ls(p):
+        _, rgb = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 4,
+                               remat="none")
+        return jnp.mean(rgb ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        _grads_match(jax.grad(lf)(params), jax.grad(ls)(params))
+
+
+def test_plan_flat_train_ms_gating():
+    """ms restricts the plan to the tiled pair with tile_rows >= _MS_HALO;
+    odd grids are rejected; scale-0 planning is unchanged."""
+    from vsnca_tpu.ops.pallas_train import plan_flat_train
+
+    ms16 = NCAConfig(c_in=16, fc_dim=128, padding_mode="circular",
+                     perception_scales=(0, 1))
+    plan = plan_flat_train(ms16, 128, 128, 64, need_dcond=False)
+    assert plan is not None and plan[1] == "tiled" and plan[2] >= 5
+    assert plan_flat_train(ms16, 129, 128, 64) is None  # odd H

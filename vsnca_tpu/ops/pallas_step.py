@@ -1180,14 +1180,13 @@ def _flat_percept(band, cond_tile, n, w, pad_mode, compute_dtype,
 _MS_HALO = 5  # state rows of halo each side for the scale-(0,1) pipeline
 
 
-def _ms_masks(n: int, w: int, t0, h: int):
-    """Mask bundle for the scale-(0,1) flat pipeline on a
-    [*, n + 2*_MS_HALO*w] band whose first halo row is GLOBAL row
-    ``t0 - _MS_HALO`` (mod h, circular). ``t0`` may be a traced int (the
-    fori-over-tiles backward); every position-dependent coefficient is
-    derived from the global row/col index, so any tile offset and any
-    tile_rows parity is correct. Requires h % 2 == 0 and w % 2 == 0."""
-    hb = _MS_HALO
+def _ms_masks(n: int, w: int, t0, h: int, hb: int = _MS_HALO):
+    """Mask bundle for the scale-(0,1) flat pipeline on a [*, n + 2*hb*w]
+    band whose first halo row is GLOBAL row ``t0 - hb`` (mod h, circular).
+    ``t0`` may be a traced int (the fori-over-tiles backward); every
+    position-dependent coefficient is derived from the global row/col
+    index, so any tile offset and any tile_rows parity is correct.
+    Requires h % 2 == 0 and w % 2 == 0."""
     nb = n + 2 * hb * w
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % w
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) // w
@@ -1244,12 +1243,17 @@ def _flat_percept_ms(band, cond_tile, n, w, compute_dtype, msk):
     )
 
     # ---- scale 1 ----
+    # Everything below runs BLOCK-WISE ([cp, nb] chains, never a [4cp, nb]
+    # concat): Mosaic's stack allocator keeps each stage's live set 4x
+    # smaller, which is what lets the 256^2 backward (whose pass-1 replays
+    # this percept) fit the 16 MB scoped-vmem limit.
     # D: 2x2 cell average (valid at anchors; odd lanes/rows are garbage).
     d = 0.25 * (band + sh(band, 1) + sh(band, w) + sh(band, w + 1))
 
-    # S: shared half-res 3x3 stencil taps — +-2 rows / +-2 lanes of d.
+    # S: half-res 3x3 stencils — +-2 rows / +-2 lanes of d, accumulated
+    # tap-by-tap (one live tap instead of a 9-entry dict).
     lt2, gew2 = msk["col_lt2"], msk["col_gew2"]
-    taps = {}
+    accs = [None, None, None]  # sx, sy, lap
     for di in range(3):
         for dj in range(3):
             k = 2 * (di - 1) * w + 2 * (dj - 1)
@@ -1258,41 +1262,40 @@ def _flat_percept_ms(band, cond_tile, n, w, compute_dtype, msk):
                 t_ = jnp.where(lt2, sh(d, k + w), t_)
             elif dj == 2:  # reads p+2: half-res W wrap at cols {w-2, w-1}
                 t_ = jnp.where(gew2, sh(d, k - w), t_)
-            taps[(di, dj)] = t_
+            for si, K in enumerate((SOBEL_X, SOBEL_Y, LAPLACIAN)):
+                co = K[di][dj]
+                if co:
+                    v = float(co) * t_
+                    accs[si] = v if accs[si] is None else accs[si] + v
 
-    def nb_fn(di, dj):
-        return taps[(di, dj)]
+    def up(s):
+        """2x upsample of one [cp, nb] anchor-valued block.
+        U over W: even col p -> 0.75 s[p] + 0.25 s[p-2] (clamped at col 0);
+        odd col p -> 0.75 s[p-1] + 0.25 s[p+1] (clamped at col w-1).
+        U over H: even global row -> 0.75 u[r] + 0.25 u[r-2] (clamped at
+        global row 0); odd -> 0.75 u[r-1] + 0.25 u[r+1] (clamped at h-1).
+        Returns the tile-interior slice [cp, n]."""
+        sm2 = jnp.where(msk["col0"], s, sh(s, -2))
+        sm1 = sh(s, -1)
+        sp1 = jnp.where(msk["colw1"], sm1, sh(s, 1))
+        uw = jnp.where(
+            msk["even_col"], 0.75 * s + 0.25 * sm2, 0.75 * sm1 + 0.25 * sp1
+        )
+        um2 = jnp.where(msk["grow0"], uw, sh(uw, -2 * w))
+        um1 = sh(uw, -w)
+        up1 = jnp.where(msk["growlast"], um1, sh(uw, w))
+        p1 = jnp.where(
+            msk["even_row"], 0.75 * uw + 0.25 * um2, 0.75 * um1 + 0.25 * up1
+        )
+        return p1[:, hb * w : hb * w + n]
 
-    s1 = jnp.concatenate(
-        [
-            d,
-            _stencil_from(nb_fn, SOBEL_X),
-            _stencil_from(nb_fn, SOBEL_Y),
-            _stencil_from(nb_fn, LAPLACIAN),
-        ],
-        axis=0,
-    )  # [4cp, nb], valid at anchors
-
-    # U over W: even col p -> 0.75 s[p] + 0.25 s[p-2] (clamped at col 0);
-    # odd col p -> 0.75 s[p-1] + 0.25 s[p+1] (clamped at col w-1).
-    sm2 = jnp.where(msk["col0"], s1, sh(s1, -2))
-    sm1 = sh(s1, -1)
-    sp1 = jnp.where(msk["colw1"], sm1, sh(s1, 1))
-    uw = jnp.where(
-        msk["even_col"], 0.75 * s1 + 0.25 * sm2, 0.75 * sm1 + 0.25 * sp1
-    )
-    # U over H: even global row -> 0.75 u[r] + 0.25 u[r-2] (clamped at
-    # global row 0); odd -> 0.75 u[r-1] + 0.25 u[r+1] (clamped at h-1).
-    um2 = jnp.where(msk["grow0"], uw, sh(uw, -2 * w))
-    um1 = sh(uw, -w)
-    up1 = jnp.where(msk["growlast"], um1, sh(uw, w))
-    p1 = jnp.where(
-        msk["even_row"], 0.75 * uw + 0.25 * um2, 0.75 * um1 + 0.25 * up1
-    )
-
-    percept = 0.5 * (p0 + p1[:, hb * w : hb * w + n])
+    parts = [
+        0.5 * (p0[k * cp : (k + 1) * cp] + up(blk))
+        for k, blk in enumerate((d, accs[0], accs[1], accs[2]))
+    ]
     if cond_tile is not None:
-        percept = jnp.concatenate([percept, cond_tile], axis=0)
+        parts.append(cond_tile)
+    percept = jnp.concatenate(parts, axis=0)
     return center, percept.astype(compute_dtype)
 
 
@@ -1304,6 +1307,29 @@ def _flat_tile_update(
     stencils -> MLP -> stochastic residual. Returns the new center [cp, n]."""
     center, percept = _flat_percept(
         band, cond_tile, n, w, pad_mode, compute_dtype, is_col0, is_colw1
+    )
+    hid = jnp.maximum(
+        jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)
+        + b1_ref[:].reshape(f, 1),
+        0.0,
+    ).astype(compute_dtype)
+    dx = (
+        jnp.dot(w2t_ref[:], hid, preferred_element_type=jnp.float32)
+        + b2_ref[:].reshape(cp, 1)
+    )
+    mask = _draw_mask_flat(n, thr)
+    return center + dx * mask
+
+
+def _flat_tile_update_ms(
+    band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
+    cp, f, n, w, thr, compute_dtype, msk,
+):
+    """One fused NCA step on a flat band [cp, n + 2*_MS_HALO*w] with
+    perception_scales (0, 1): ms percept -> MLP -> stochastic residual.
+    ``msk`` = _ms_masks(n, w, t0, h). Returns the new center [cp, n]."""
+    center, percept = _flat_percept_ms(
+        band, cond_tile, n, w, compute_dtype, msk
     )
     hid = jnp.maximum(
         jnp.dot(w1t_ref[:], percept, preferred_element_type=jnp.float32)

@@ -44,12 +44,16 @@ from vsnca_tpu.config import NCAConfig
 from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
 from vsnca_tpu.ops.pallas_step import (
     _LANE,
+    _MS_HALO,
     _draw_mask,
     _draw_mask_flat,
     _flat_neighbors,
     _flat_pad_weights,
     _flat_percept,
+    _flat_percept_ms,
     _flat_tile_update,
+    _flat_tile_update_ms,
+    _ms_masks,
     _mlp_dx,
     _pick_tile_h,
     _pick_tile_rows,
@@ -79,22 +83,23 @@ def _step_seed(seed0, bidx, step):
 
 
 def _flat_band_circ(buf_slice, t: int, n: int, w: int, hw: int,
-                    n_tiles: int):
-    """Flat circular band [*, n + 2w] (1-row halos) over a [*, hw]
+                    n_tiles: int, hb: int = 1):
+    """Flat circular band [*, n + 2*hb*w] (hb-row halos) over a [*, hw]
     value-slice fn — THE shared halo/wrap builder for the flat train
     kernels (fwd + both backwards). Interior tiles are pure aligned views;
-    the first/last tiles wrap one row."""
+    the first/last tiles wrap hb rows (requires hb*w <= n for interior
+    tiles not to straddle both ends, i.e. tile_rows >= hb)."""
     o = t * n
     parts = []
-    lo = o - w
+    lo = o - hb * w
     if t == 0:
-        parts.append(buf_slice(hw - w, hw))
+        parts.append(buf_slice(hw - hb * w, hw))
         lo = 0
     if t == n_tiles - 1:
         parts.append(buf_slice(lo, hw))
-        parts.append(buf_slice(0, w))
+        parts.append(buf_slice(0, hb * w))
     else:
-        parts.append(buf_slice(lo, o + n + w))
+        parts.append(buf_slice(lo, o + n + hb * w))
     if len(parts) == 1:
         return parts[0]
     return jnp.concatenate(parts, axis=1)
@@ -155,6 +160,121 @@ def _stencil_bands(band, w: int):
     left = pltpu.roll(band, 1, axis=2)
     right = pltpu.roll(band, w - 1, axis=2)
     return left, band, right
+
+
+def _tiled_band(tile_slice, t, n_tiles: int, tile_rows: int, w: int,
+                hb: int):
+    """[*, n + 2*hb*w] circular band around tile t of a TILED buffer.
+    ``tile_slice(idx, lo, hi)`` returns rows [lo, hi) of tile ``idx`` as
+    lanes (idx may be traced; lo/hi are static). hb may exceed tile_rows —
+    the halo then spans ceil(hb/tile_rows) neighbor tiles per side
+    (requires n_tiles >= 2*ceil(hb/tile_rows) + 1 when it does)."""
+    m = -(-hb // tile_rows)
+    lead = hb - (m - 1) * tile_rows
+    parts = [tile_slice((t - m) % n_tiles, tile_rows - lead, tile_rows)]
+    for j in range(m - 1, 0, -1):
+        parts.append(tile_slice((t - j) % n_tiles, 0, tile_rows))
+    parts.append(tile_slice(t, 0, tile_rows))
+    for j in range(1, m):
+        parts.append(tile_slice((t + j) % n_tiles, 0, tile_rows))
+    parts.append(tile_slice((t + m) % n_tiles, 0, lead))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
+    """State cotangent of ``_flat_percept_ms``'s percept: from gp [4cp, n]
+    (cotangent of the 4 stencil blocks at tile-interior positions) produce
+    the band [cp, n + 8w] of contributions to x at global rows
+    [t0-4, t0+tile_rows+4). ``msk`` is the SAME _ms_masks(n, w, t0, h)
+    bundle the percept uses: the working band is [*, n + 2*_MS_HALO*w] and
+    every prefix of the shift chains stays inside it (max cumulative
+    displacement exactly 5w on both sides — verified op-by-op), so nothing
+    circular-wraps.
+
+    Mechanical transpose of the forward chain (down -> half-res stencils ->
+    up, plus the scale-0 stencils, averaged 0.5): sh(x,k) -> sh(g,-k);
+    y = where(m, A x, B x) -> A^T(m*g) + B^T((1-m)*g), with every mask
+    evaluated at the forward op's OUTPUT frame (= this g frame). The
+    stencil transposes are factored into 3 dj-class lane rolls + one
+    ALIGNED row roll per di (shifts that are multiples of w), which keeps
+    the op count (and Mosaic's per-op stack allocations) low."""
+    hb = _MS_HALO
+    nb = n + 2 * hb * w
+    zpad = jnp.zeros((cp, hb * w), jnp.float32)
+
+    def sh(x, k):
+        """out[p] = x[p + k] (circular flat lane shift)."""
+        return pltpu.roll(x, (nb - k) % nb, axis=1)
+
+    def mw(m, x):
+        return jnp.where(m, x, 0.0)
+
+    def ut(g):
+        """U^T of one [cp, nb] block: U_H^T then U_W^T."""
+        ge = mw(msk["even_row"], g)
+        go = g - ge
+        guw = (
+            0.75 * ge
+            + 0.25 * mw(msk["grow0"], ge)
+            + sh(0.25 * mw(~msk["grow0"], ge), 2 * w)
+            + sh(0.75 * go + 0.25 * mw(msk["growlast"], go), w)
+            + sh(0.25 * mw(~msk["growlast"], go), -w)
+        )
+        gec = mw(msk["even_col"], guw)
+        goc = guw - gec
+        return (
+            0.75 * gec
+            + 0.25 * mw(msk["col0"], gec)
+            + sh(0.25 * mw(~msk["col0"], gec), 2)
+            + sh(0.75 * goc + 0.25 * mw(msk["colw1"], goc), 1)
+            + sh(0.25 * mw(~msk["colw1"], goc), -1)
+        )
+
+    # Block-wise ([cp, nb] chains, one gp block at a time).
+    lt2, gew2 = msk["col_lt2"], msk["col_gew2"]
+    gd = None    # scale-1 accumulator at the half-res (anchor) frame
+    gx0 = None   # scale-0 accumulator
+    for bi, K in ((0, None), (1, SOBEL_X), (2, SOBEL_Y), (3, LAPLACIAN)):
+        gb = jnp.concatenate(
+            [zpad, gp[bi * cp : (bi + 1) * cp].astype(jnp.float32), zpad],
+            axis=1,
+        )  # [cp, nb] embedded block
+        # ---- scale-1: E^T -> U_H^T -> U_W^T (-> S^T into gd) ----
+        gs1 = ut(gb)
+        if K is None:  # raw block bypasses the stencil
+            gd = gs1 if gd is None else gd + gs1
+            gx0 = gb if gx0 is None else gx0 + gb
+            continue
+        # S^T, half-res: fwd tap k = 2(di-1)w + 2(dj-1) with W-wrap corr
+        # +-w at cols {0,1}/{w-2,w-1}; transpose shift -k factored into a
+        # dj-class lane roll (m0/m1/m2) + an aligned row roll per di.
+        m0 = sh(mw(lt2, gs1), 2 - w) + sh(mw(~lt2, gs1), 2)
+        m2 = sh(mw(gew2, gs1), w - 2) + sh(mw(~gew2, gs1), -2)
+        for di in range(3):
+            s_di = None
+            for dj, m in ((0, m0), (1, gs1), (2, m2)):
+                co = K[di][dj]
+                if co:
+                    v = float(co) * m
+                    s_di = v if s_di is None else s_di + v
+            if s_di is not None:
+                gd = gd + sh(s_di, -2 * (di - 1) * w)
+        # ---- scale-0 transpose, same factoring at full-res offsets ----
+        q0 = sh(mw(msk["col0"], gb), 1 - w) + sh(mw(~msk["col0"], gb), 1)
+        q2 = sh(mw(msk["colw1"], gb), w - 1) + sh(mw(~msk["colw1"], gb), -1)
+        for di in range(3):
+            s_di = None
+            for dj, q in ((0, q0), (1, gb), (2, q2)):
+                co = K[di][dj]
+                if co:
+                    v = float(co) * q
+                    s_di = v if s_di is None else s_di + v
+            if s_di is not None:
+                gx0 = gx0 + sh(s_di, -(di - 1) * w)
+
+    gx1 = 0.25 * (gd + sh(gd, -1) + sh(gd, -w) + sh(gd, -w - 1))  # D^T
+    adj = 0.5 * (gx0 + gx1)
+    return adj[:, w : w + n + 8 * w]
 
 
 def _make_fwd_kernel(
@@ -727,6 +847,7 @@ def _make_fwd_kernel_flat(
     hw = h * w
     assert cfg.padding_mode == "circular"
     has_cond = ccp > 0
+    assert tuple(cfg.perception_scales) == (0,)  # ms: tiled fwd factory
 
     def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
         if has_cond:
@@ -797,6 +918,111 @@ def _make_fwd_kernel_flat(
     return kernel
 
 
+def _make_fwd_kernel_flat_tiled_ms(
+    cfg: NCAConfig,
+    h: int,
+    w: int,
+    n_steps: int,
+    segment: int,
+    tile_rows: int,
+    cp: int,
+    ccp: int,
+    compute_dtype,
+):
+    """Segment-checkpointing forward for perception_scales (0,1): the ms
+    percept's per-tile temporaries are ~3x the scale-0 body, and Mosaic
+    does not reuse stack allocations across UNROLLED tile bodies (measured
+    44.3 MB scoped demand at 256^2 x 32 tiles) — so the tile loop is a
+    ``fori_loop`` over two [n_tiles, cp, n] Jacobi buffers with modular
+    leading-dim band reads, the same validated pattern as the tiled
+    backward. x / checkpoints stay FLAT in HBM (per-tile lane-slice DMAs
+    retile both ways); the output block is tiled and the wrapper untiles
+    it once per call. Mask-draw order (per step: tiles 0..n_tiles-1)
+    matches the unrolled forward and both backwards."""
+    f = cfg.fc_dim
+    thr = _uniform_threshold(cfg.update_rate)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    assert cfg.padding_mode == "circular"
+    assert tuple(cfg.perception_scales) == (0, 1)
+    assert h % 2 == 0 and w % 2 == 0 and tile_rows >= 4
+    assert n_tiles >= 2
+    has_cond = ccp > 0
+
+    def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
+        if has_cond:
+            condt_ref, outt_ref, ckpt_ref, alt_ref, dma_sem = rest
+        else:
+            outt_ref, ckpt_ref, alt_ref, dma_sem = rest
+            condt_ref = None
+
+        bidx = pl.program_id(0)
+        for t in range(n_tiles):
+            dma = pltpu.make_async_copy(
+                x_ref.at[bidx, :, pl.ds(t * n, n)], outt_ref.at[0, t],
+                dma_sem,
+            )
+            dma.start()
+            dma.wait()
+
+        def band_of(src, t):
+            """[cp, n + 2*_MS_HALO*w] modular tiled circular band."""
+            return _tiled_band(
+                lambda idx, lo, hi: src[idx, :, lo * w : hi * w],
+                t, n_tiles, tile_rows, w, _MS_HALO,
+            )
+
+        def run_step(src, dst):
+            def one_t(t, carry):
+                cond_tile = condt_ref[0, t] if condt_ref is not None else None
+                dst[t] = _flat_tile_update_ms(
+                    band_of(src, t), cond_tile,
+                    w1t_ref, b1_ref, w2t_ref, b2_ref,
+                    cp, f, n, w, thr, compute_dtype,
+                    _ms_masks(n, w, t * tile_rows, h),
+                )
+                return carry
+
+            jax.lax.fori_loop(0, n_tiles, one_t, 0)
+
+        def ckpt_store(src, i):
+            for t in range(n_tiles):
+                dma = pltpu.make_async_copy(
+                    src.at[t],
+                    ckpt_ref.at[bidx, i // segment, :, pl.ds(t * n, n)],
+                    dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+        def one_step(i, carry):
+            pltpu.prng_seed(_step_seed(seed_ref[0], bidx, i))
+
+            @pl.when(i % 2 == 0)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(outt_ref.at[0], i)
+
+                run_step(outt_ref.at[0], alt_ref)
+
+            @pl.when(i % 2 == 1)
+            def _():
+                @pl.when(i % segment == 0)
+                def _():
+                    ckpt_store(alt_ref, i)
+
+                run_step(alt_ref, outt_ref.at[0])
+
+            return carry
+
+        jax.lax.fori_loop(0, n_steps, one_step, 0)
+        if n_steps % 2 == 1:
+            outt_ref[0] = alt_ref[:]
+
+    return kernel
+
+
 def _make_bwd_kernel_flat(
     cfg: NCAConfig,
     h: int,
@@ -816,6 +1042,7 @@ def _make_bwd_kernel_flat(
     n_segments = n_steps // segment
     hw = h * w
     assert cfg.padding_mode == "circular"
+    assert tuple(cfg.perception_scales) == (0,)  # ms rides the tiled pair
     has_cond = ccp > 0
 
     dn_nn = (((1,), (1,)), ((), ()))  # contract the pixel axis
@@ -995,6 +1222,14 @@ def _make_bwd_kernel_flat_tiled(
     assert cfg.padding_mode == "circular"
     assert n_tiles >= 2, "tiled backward needs >= 2 row tiles"
     has_cond = ccp > 0
+    ms = tuple(cfg.perception_scales) == (0, 1)
+    if ms:
+        # tile_rows >= 4 keeps the 4-row adjoint reach within one neighbor
+        # tile; the 5-row percept halo may span two (multi-tile bands).
+        assert h % 2 == 0 and w % 2 == 0 and tile_rows >= 4
+    # Adjoint reach: rows of neighbor-tile overlap the scatter must carry
+    # (1 for the 3x3 stencil, 4 for the scale-(0,1) down/stencil/up chain).
+    ew = (4 if ms else 1) * w
 
     dn_nn = (((1,), (1,)), ((), ()))
 
@@ -1004,15 +1239,15 @@ def _make_bwd_kernel_flat_tiled(
     ):
         if has_cond and need_dcond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             dcondt_ref, states_ref, adj_ref, dma_sem) = rest
+             dcondt_ref, states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
         elif has_cond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             states_ref, adj_ref, dma_sem) = rest
+             states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
             dcondt_ref = None
         else:
             (dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
              states_ref, adj_ref, dma_sem) = rest
-            condt_ref = dcondt_ref = None
+            condt_ref = dcondt_ref = cond_scr_ref = None
 
         bidx = pl.program_id(0)
 
@@ -1039,27 +1274,35 @@ def _make_bwd_kernel_flat_tiled(
         a_col0 = cola == 0
         a_colw1 = cola == w - 1
 
-        def band_of_tiled(k, t):
-            """Flat circular band [cp, n + 2w] for tile t of states[k]:
+        def band_of_tiled(k, t, hb=1):
+            """Flat circular band [cp, n + 2*hb*w] for tile t of states[k]:
             modular leading-dim reads replace _flat_band_circ's static
-            boundary cases."""
-            tp = (t - 1) % n_tiles
-            tn = (t + 1) % n_tiles
-            return jnp.concatenate(
-                [
-                    states_ref[k, tp, :, n - w :],
-                    states_ref[k, t],
-                    states_ref[k, tn, :, : w],
-                ],
-                axis=1,
+            boundary cases (hb may span multiple neighbor tiles)."""
+            return _tiled_band(
+                lambda idx, lo, hi: states_ref[k, idx, :, lo * w : hi * w],
+                t, n_tiles, tile_rows, w, hb,
             )
 
         def tile_percept(src_k, t):
-            band = band_of_tiled(src_k, t)
-            cond_tile = condt_ref[0, t] if condt_ref is not None else None
+            cond_tile = None
+            if condt_ref is not None:
+                # cond stays in HBM (tiled layout): per-tile DMA into a
+                # [ccp, n] scratch — 2 MB of VMEM the 256^2 ms backward
+                # can't spare, at ~0.2 ms/grad of extra HBM traffic.
+                dma = pltpu.make_async_copy(
+                    condt_ref.at[bidx, t], cond_scr_ref, dma_sem
+                )
+                dma.start()
+                dma.wait()
+                cond_tile = cond_scr_ref[:]
+            if ms:
+                return _flat_percept_ms(
+                    band_of_tiled(src_k, t, _MS_HALO), cond_tile, n, w,
+                    compute_dtype, _ms_masks(n, w, t * tile_rows, h),
+                )
             return _flat_percept(
-                band, cond_tile, n, w, "circular", compute_dtype,
-                is_col0, is_colw1,
+                band_of_tiled(src_k, t), cond_tile, n, w, "circular",
+                compute_dtype, is_col0, is_colw1,
             )
 
         def load_ckpt(s):
@@ -1102,10 +1345,16 @@ def _make_bwd_kernel_flat_tiled(
 
             jax.lax.fori_loop(0, segment - 1, one_k, 0)
 
-        def adj_of(gp_tile):
-            """Adjoint-stencil band [cp, n + 2w] from one tile's gp [4cp, n]
-            zero-padded on both sides (cross-tile halo contributions emerge
-            as the band's ±1-row edges)."""
+        def adj_of(gp_tile, t):
+            """Adjoint band [cp, n + 2*ew] from one tile's gp [4cp, n]
+            (cross-tile halo contributions emerge as the band's edge rows).
+            Scale-0: flipped-stencil correlation on a zero-padded band.
+            ms: the mechanical transpose of the down/stencil/up chain
+            (t feeds the global-row masks; t may be traced)."""
+            if ms:
+                return _flat_percept_ms_adj(
+                    gp_tile, _ms_masks(n, w, t * tile_rows, h), cp, n, w,
+                )
             z = jnp.zeros((4 * cp, 2 * w), gp_tile.dtype)
             gpb = jnp.concatenate([z, gp_tile, z], axis=1)  # [4cp, n+4w]
             left, band, right = _flat_neighbors(
@@ -1133,15 +1382,17 @@ def _make_bwd_kernel_flat_tiled(
             def tile_body(t, carry):
                 _, percept = tile_percept(k, t)
                 mask = _draw_mask_flat(n, thr)
-                z1 = (
+                # relu mask derived from hid (hid > 0 <=> z1 > 0): one
+                # fewer [F, n] f32 stack buffer than keeping z1 around.
+                hid = jnp.maximum(
                     jnp.dot(w1t_ref[:], percept,
                             preferred_element_type=jnp.float32)
-                    + b1_ref[:].reshape(f, 1)
-                )
-                hid = jnp.maximum(z1, 0.0).astype(compute_dtype)
+                    + b1_ref[:].reshape(f, 1),
+                    0.0,
+                ).astype(compute_dtype)
                 gdx = (gxt_ref[t] * mask).astype(compute_dtype)
                 gz1 = jnp.where(
-                    z1 > 0.0,
+                    hid > 0.0,
                     jnp.dot(w2_ref[:], gdx,
                             preferred_element_type=jnp.float32),
                     0.0,
@@ -1165,35 +1416,35 @@ def _make_bwd_kernel_flat_tiled(
                 db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
 
                 # Delayed scatter: tile t-1's adjoint lands AFTER this
-                # tile's pass-1 read of its (overlapping) first row; tile
+                # tile's pass-1 read of its (overlapping) first rows; tile
                 # 0's top-wrap chunk (last tile's rows — its pass-1 runs
-                # last) parks in adj_ref's spare last w lanes.
+                # last) parks in adj_ref's spare last ew lanes.
                 @pl.when(t > 0)
                 def _():
                     j = t - 1
-                    adj = adj_ref[:, : n + 2 * w]
-                    gxt_ref[j] += adj[:, w : w + n]
-                    gxt_ref[t, :, : w] += adj[:, n + w :]
+                    adj = adj_ref[:, : n + 2 * ew]
+                    gxt_ref[j] += adj[:, ew : ew + n]
+                    gxt_ref[t, :, : ew] += adj[:, n + ew :]
 
                     @pl.when(j == 0)
                     def _():
-                        adj_ref[:, n + 2 * w :] = adj[:, : w]
+                        adj_ref[:, n + 2 * ew :] = adj[:, : ew]
 
                     @pl.when(j > 0)
                     def _():
-                        gxt_ref[j - 1, :, n - w :] += adj[:, : w]
+                        gxt_ref[j - 1, :, n - ew :] += adj[:, : ew]
 
-                adj_ref[:, : n + 2 * w] = adj_of(gp[: 4 * cp])
+                adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t)
                 return carry
 
             jax.lax.fori_loop(0, n_tiles, tile_body, 0)
             # Final scatter: the last tile's adjoint, then the parked chunk.
             jlast = n_tiles - 1
-            adj = adj_ref[:, : n + 2 * w]
-            gxt_ref[jlast] += adj[:, w : w + n]
-            gxt_ref[0, :, : w] += adj[:, n + w :]
-            gxt_ref[jlast - 1, :, n - w :] += adj[:, : w]
-            gxt_ref[jlast, :, n - w :] += adj_ref[:, n + 2 * w :]
+            adj = adj_ref[:, : n + 2 * ew]
+            gxt_ref[jlast] += adj[:, ew : ew + n]
+            gxt_ref[0, :, : ew] += adj[:, n + ew :]
+            gxt_ref[jlast - 1, :, n - ew :] += adj[:, : ew]
+            gxt_ref[jlast, :, n - ew :] += adj_ref[:, n + 2 * ew :]
 
         def per_segment(si, carry):
             s = n_segments - 1 - si
@@ -1237,6 +1488,7 @@ def _make_bwd_kernel_flat_scatter(
     n_segments = n_steps // segment
     hw = h * w
     assert cfg.padding_mode == "circular"
+    assert tuple(cfg.perception_scales) == (0,)  # ms rides the tiled pair
     assert n_tiles >= 2, "scatter backward needs >= 2 row tiles"
     has_cond = ccp > 0
 
@@ -1437,23 +1689,30 @@ def bwd_flat_vmem_bytes_estimate(
 
 def bwd_tiled_vmem_bytes_estimate(
     cp: int, hw: int, fc_dim: int, ccp: int, segment: int, n: int, w: int,
-    need_dcond: bool = True,
+    need_dcond: bool = True, ms: bool = False,
 ) -> int:
     """VMEM demand of the fori-over-tiles backward: whole-grid buffers are
     exact; the tile-body stack term is calibrated against the measured
     ~330 B/pixel of the unrolled bodies, halved because a single fori body
     lets Mosaic reuse within one body's live ranges (validated on hardware;
-    see docs/ROUND3.md)."""
+    see docs/ROUND3.md). ``ms`` (perception_scales (0,1)): the adjoint
+    band widens to 4-row edges and the percept/transpose chains add ~17
+    live [cp, n+12w] ranges (calibrated against the measured 19.11 MB
+    total at 256^2/tr=8/c16, docs/ROUND3.md); the cond INPUT rides in HBM
+    (per-tile DMA), so only its [ccp, n] scratch counts."""
+    ew = (4 if ms else 1) * w
     buf = 4 * (
         segment * cp * hw      # states (tiled layout, same byte count)
         + cp * hw              # dx0/gx tiled output block
-        + (ccp * hw if ccp else 0)                   # cond tiled input
+        + (ccp * n if ccp else 0)                    # cond tile scratch
         + (ccp * hw if (ccp and need_dcond) else 0)  # dcond tiled output
     )
-    buf += 4 * cp * (n + 3 * w)  # adjoint band + parked top-wrap chunk
+    buf += 4 * cp * (n + 3 * ew)  # adjoint band + parked top-wrap chunk
     tile = 4 * n * (
         (4 * cp + ccp) * 2 + 3 * fc_dim + 8 * cp
     ) // 2
+    if ms:
+        tile += 4 * (n + 12 * w) * cp * 17  # percept + transpose live ranges
     return buf + tile
 
 
@@ -1481,6 +1740,9 @@ def plan_flat_train(
     A/B benchmarks)."""
     cp = _round8(cfg.c_in)
     ccp = _round8(cfg.c_cond) if cfg.conditioning else 0
+    ms = tuple(cfg.perception_scales) == (0, 1)
+    if ms and (h % 2 or w % 2):
+        return None
     tile_rows = _flat_tile_rows(h, w)
     if h % tile_rows != 0:
         return None
@@ -1492,6 +1754,9 @@ def plan_flat_train(
     # (HBM checkpoints grow to n_steps*batch*state at k=1: <= ~1.5 GB for
     # every supported grid size.)
     modes = ("gather", "scatter", "tiled")
+    if ms:
+        modes = ("tiled",)  # only the fori-over-tiles pair carries the
+        #                     scale-(0,1) percept + its transposed adjoint
     if force_mode is not None:
         modes = (force_mode,)
     for mode in modes:
@@ -1511,11 +1776,16 @@ def plan_flat_train(
                 nt = tr * w
                 if h // tr < 2:
                     continue
+                if ms and tr < 4:
+                    continue  # ms: 4-row adjoint reach must stay within
+                    #           one neighbor tile (modular band READS may
+                    #           span several; duplicates are fine)
                 for k in (1, 2, 4, 8, 16):
                     if n_steps % k:
                         continue
                     if bwd_tiled_vmem_bytes_estimate(
-                            cp, h * w, cfg.fc_dim, ccp, k, nt, w, need_dcond
+                            cp, h * w, cfg.fc_dim, ccp, k, nt, w, need_dcond,
+                            ms,
                     ) < 14 * 2**20:
                         return k, "tiled", tr
             continue
@@ -1539,12 +1809,13 @@ def pick_segment_flat(cfg: NCAConfig, h: int, w: int,
 def fused_train_flat_supported(cfg: NCAConfig, h: int, w: int,
                                n_steps: int,
                                need_dcond: bool = True) -> bool:
-    """True when the flat-layout custom-VJP rollout applies. The trainer
-    passes need_dcond=False (its conditioning is a positional constant or a
-    stop-gradient'd edge map — no cotangent needed)."""
+    """True when the flat-layout custom-VJP rollout applies
+    (perception_scales (0,) in any mode, (0,1) via the tiled pair). The
+    trainer passes need_dcond=False (its conditioning is a positional
+    constant or a stop-gradient'd edge map — no cotangent needed)."""
     if cfg.padding_mode != "circular":
         return False
-    if tuple(cfg.perception_scales) != (0,):
+    if tuple(cfg.perception_scales) not in ((0,), (0, 1)):
         return False
     if w % _LANE != 0:
         return False
@@ -1565,6 +1836,11 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
     c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
     if tile_rows is None:
         tile_rows = _flat_tile_rows(h, w)
+    if tuple(cfg.perception_scales) == (0, 1):
+        return _fwd_call_flat_tiled_ms(
+            params, xf, condf, seed_i32, cfg, n_steps, segment,
+            compute_dtype, interpret, h, w, tile_rows,
+        )
     n_segments = n_steps // segment
     kernel = _make_fwd_kernel_flat(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
@@ -1619,6 +1895,71 @@ def _fwd_call_flat(params, xf, condf, seed_i32, cfg, n_steps, segment,
             interpret=interpret,
         )(*args)
     return y, ckpt
+
+
+def _fwd_call_flat_tiled_ms(params, xf, condf, seed_i32, cfg, n_steps,
+                            segment, compute_dtype, interpret, h, w,
+                            tile_rows):
+    """Dispatch for the fori-over-tiles ms forward: x/checkpoints flat in
+    HBM, cond rides in (and the final state comes out) tiled; the tiled
+    output is untiled here, once per call."""
+    b, cp, hw = xf.shape
+    c, _, cc, ccp = _flat_shapes(cfg, condf is not None)
+    n = tile_rows * w
+    n_tiles = h // tile_rows
+    n_segments = n_steps // segment
+    kernel = _make_fwd_kernel_flat_tiled_ms(
+        cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
+        jnp.dtype(compute_dtype),
+    )
+    w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
+
+    block = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # x flat HBM
+        rep(w1t.shape), rep(b1.shape), rep(w2t.shape), rep(b2.shape),
+    ]
+    args = [seed_i32.reshape(1), xf, w1t, b1, w2t, b2]
+    if condf is not None:
+        condt = _tile4(condf, n_tiles)
+        in_specs.append(block(condt.shape[1:]))
+        args.append(condt)
+
+    flops_step = 2 * hw * 2 * ((4 * cp + ccp) * cfg.fc_dim + cfg.fc_dim * cp)
+    # Kernel matmuls are validated at DEFAULT matmul precision (see
+    # _fwd_call_flat). Pin it here too.
+    with jax.default_matmul_precision("default"):
+        yt, ckpt = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n_tiles, cp, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_segments, cp, hw), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(
+                block((n_tiles, cp, n)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_tiles, cp, n), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=b * n_steps * flops_step,
+                bytes_accessed=(2 + n_segments) * b * cp * hw * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+    return _untile4(yt), ckpt
 
 
 def _bwd_call_flat(params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
@@ -1750,6 +2091,7 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
     p = 4 * cp + ccp
     n = tile_rows * w
     n_tiles = h // tile_rows
+    ew = (4 if tuple(cfg.perception_scales) == (0, 1) else 1) * w
     kernel = _make_bwd_kernel_flat_tiled(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
         jnp.dtype(compute_dtype), need_dcond,
@@ -1775,7 +2117,8 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
     args = [seed_i32.reshape(1), ckpt, gy, w1t, b1, w2t, b2, w1p, w2p]
     if condf is not None:
         condt = _tile4(condf, n_tiles)
-        in_specs.append(block(condt.shape[1:]))
+        # cond rides in HBM; the kernel DMAs one [ccp, n] tile at a time.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         args.append(condt)
 
     out_shape = [
@@ -1805,11 +2148,15 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
             out_shape=tuple(out_shape),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
-            scratch_shapes=[
-                pltpu.VMEM((segment, n_tiles, cp, n), jnp.float32),  # states
-                pltpu.VMEM((cp, n + 3 * w), jnp.float32),  # adj band + park
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((segment, n_tiles, cp, n), jnp.float32),
+                    pltpu.VMEM((cp, n + 3 * ew), jnp.float32),  # adj + park
+                ]
+                + ([pltpu.VMEM((ccp, n), jnp.float32)] if condf is not None
+                   else [])
+                + [pltpu.SemaphoreType.DMA(())]
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * n_steps * flops_step,
                 bytes_accessed=2 * n_segments * b * cp * hw * 4,

@@ -86,12 +86,6 @@ def make_train_step(
     ):
         b = states.shape[0]
         hw = states.shape[1:3]
-        if rollout_path == "fused" and n_motion_frames > 0:
-            raise ValueError(
-                "rollout_path='fused' does not support tapped (video-motion)"
-                " rollouts — intermediate frame taps would need checkpoint"
-                " taps in-kernel; use rollout_path='auto' or 'xla'"
-            )
 
         # Content channel append (ExtraChannels: experiments.py:211).
         if nca_cfg.n_seed_channels < nca_cfg.c_in:
@@ -112,13 +106,62 @@ def make_train_step(
             )
             rgb_before = to_rgb(pre_state, nca_cfg.c_out)
 
+        from vsnca_tpu.ops.pallas_train import (
+            fused_rollout_train,
+            fused_rollout_train_flat,
+            fused_train_flat_supported,
+            fused_train_supported,
+        )
+
+        want_fused = rollout_path == "fused" or (
+            rollout_path == "auto" and jax.default_backend() == "tpu"
+        )
+        # need_dcond=False: the trainer's conditioning is a
+        # positional-encoding constant or a stop-gradient'd edge
+        # map (make_conditioning) — no cond cotangent needed.
+        # Tapped (video-motion) rollouts run as n_motion_frames CHUNKS of
+        # tap_every fused steps each (total = n_frames*tap_every, exactly
+        # dynca_rollout_with_taps' two-level scan; reference
+        # fit_video_motion.py:230-235), so flat support is evaluated at the
+        # per-chunk length.
+        chunk_n = tap_every if n_motion_frames > 0 else step_n
+        use_flat = want_fused and chunk_n > 0 and fused_train_flat_supported(
+            nca_cfg, hw[0], hw[1], chunk_n, need_dcond=False
+        )
+        use_fused = use_flat or (
+            want_fused
+            and n_motion_frames == 0
+            and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
+        )
+        if rollout_path == "fused":
+            assert use_fused, (
+                "rollout_path='fused' but no fused training kernel "
+                "supports this config/shape"
+            )
+
         def objective(p):
             input_dict = {}
             if n_motion_frames > 0:
-                state_after, frames = dynca_rollout_with_taps(
-                    p, states, k_roll, nca_cfg, n_motion_frames, tap_every,
-                    cond=cond, remat=remat,
-                )
+                if use_flat:
+                    x_cur = states
+                    frames_l = []
+                    for i, k_i in enumerate(
+                        jax.random.split(k_roll, n_motion_frames)
+                    ):
+                        seed_f = jax.random.randint(
+                            k_i, (), 0, 1 << 30
+                        ).astype(jnp.float32)
+                        x_cur, rgb_i = fused_rollout_train_flat(
+                            p, x_cur, seed_f, nca_cfg, tap_every,
+                            cond_nhwc=cond, cond_no_grad=True,
+                        )
+                        frames_l.append(rgb_i)
+                    state_after, frames = x_cur, frames_l
+                else:
+                    state_after, frames = dynca_rollout_with_taps(
+                        p, states, k_roll, nca_cfg, n_motion_frames,
+                        tap_every, cond=cond, remat=remat,
+                    )
                 rgb_after = frames[-1]
                 input_dict["generated_image_list_motion"] = [
                     frames[i] for i in range(n_motion_frames)
@@ -129,31 +172,6 @@ def make_train_step(
                         for i in range(n_motion_frames)
                     ]
             else:
-                from vsnca_tpu.ops.pallas_train import (
-                    fused_rollout_train,
-                    fused_rollout_train_flat,
-                    fused_train_flat_supported,
-                    fused_train_supported,
-                )
-
-                want_fused = rollout_path == "fused" or (
-                    rollout_path == "auto" and jax.default_backend() == "tpu"
-                )
-                # need_dcond=False: the trainer's conditioning is a
-                # positional-encoding constant or a stop-gradient'd edge
-                # map (make_conditioning) — no cond cotangent needed.
-                use_flat = want_fused and fused_train_flat_supported(
-                    nca_cfg, hw[0], hw[1], step_n, need_dcond=False
-                )
-                use_fused = use_flat or (
-                    want_fused
-                    and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
-                )
-                if rollout_path == "fused":
-                    assert use_fused, (
-                        "rollout_path='fused' but no fused training kernel "
-                        "supports this config/shape"
-                    )
                 if use_fused:
                     # segment-checkpointed custom-VJP kernel pair: BPTT
                     # entirely in VMEM (ops/pallas_train.py); the flat
