@@ -106,3 +106,74 @@ def test_stylizer_kernel_selection_runs():
     frame = jnp.zeros((1, 256, 256, 3))
     out = styl.step_frame(frame)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_learning_proof_128px_regression():
+    """Hardware learning regression (VERDICT r2 'weak' #8): 60 iterations
+    of the ExtraChannels MSE-auxiliary config at 128px must cut the loss
+    by >= 40% — the pytest form of examples/learning_proof.py's visual
+    check, small enough for the per-round hardware suite."""
+    import dataclasses
+
+    import numpy as np
+
+    from vsnca_tpu.config import LossConfig, TrainConfig
+    from vsnca_tpu.data.preprocess import synthetic_style_image
+    from vsnca_tpu.train.presets import PRESETS
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    nca, _, train = PRESETS["extra_channels"](img_size=128)
+    loss = LossConfig(overflow_weight=100.0, auxiliary_weight=10.0,
+                      auxiliary_loss_type="MSE")
+    train = dataclasses.replace(
+        train, img_size=(128, 128), batch_size=4, pool_size=32,
+        step_buckets=(32,), step_range=(32, 33), max_iterations=60,
+    )
+    trainer = DyNCATrainer(nca, loss, train)
+    aux = jnp.asarray(synthetic_style_image((128, 128), 4))
+    gs = jnp.mean(aux, axis=-1, keepdims=True)
+    inputs = {"aux_imgs": aux * 2 - 1, "aux_gs": gs * 2 - 1}
+    first = None
+    for i in range(60):
+        log = trainer.train_iteration(dict(inputs), step_n=32,
+                                      sync=(i % 10 == 0 or i >= 58))
+        if i == 0:
+            first = log.loss
+    last = trainer.history[-1].loss
+    assert np.isfinite(last)
+    assert last < 0.6 * first, (first, last)
+
+
+def test_ms_fused_pair_hardware_grad_parity():
+    """perception_scales (0,1) tiled pair vs the XLA scan on real hardware
+    with deterministic masks — the ms analogue of the flat-VJP check."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        plan_flat_train,
+    )
+
+    cfg = NCAConfig(c_in=16, fc_dim=128, padding_mode="circular",
+                    perception_scales=(0, 1), conditioning="pos_emb",
+                    update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    h = w = 64
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 16)) - 0.5
+    cond = make_conditioning(cfg, (h, w), batch=1)
+    assert plan_flat_train(cfg, h, w, 8, need_dcond=False) is not None
+
+    def lf(p):
+        s, _ = fused_rollout_train_flat(p, x, 5.0, cfg, 8, cond_nhwc=cond,
+                                        cond_no_grad=True)
+        return jnp.sum(s ** 2)
+
+    def ls(p):
+        s, _ = dynca_rollout(p, x, jax.random.PRNGKey(2), cfg, 8, cond=cond,
+                             remat="per_step")
+        return jnp.sum(s ** 2)
+
+    gf = jax.jit(jax.grad(lf))(params)
+    gs = jax.jit(jax.grad(ls))(params)
+    for k in gf:
+        scale = float(jnp.abs(gs[k]).max()) + 1e-12
+        err = float(jnp.abs(gf[k] - gs[k]).max()) / scale
+        assert err < 5e-4, (k, err)
