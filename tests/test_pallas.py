@@ -346,10 +346,11 @@ def test_select_rollout_kernel_policy():
 
 
 def test_kernel_gates_account_for_conditioning_vmem():
-    """Conditioned configs carry a whole-grid VMEM cond block; the gates
-    must reject sizes where it blows the budget (1024² edges stylizer OOMed
-    the scoped-vmem allocator before this accounting) while keeping the
-    measured-working sizes."""
+    """The VMEM-resident kernel carries a whole-grid cond block — its gate
+    must reject sizes where it blows the budget (a 1024² edges stylizer
+    OOMed the scoped-vmem allocator before this accounting). The STREAMING
+    kernel now streams cond band-by-band from HBM, so 1024²+ conditioned
+    grids are in scope (previously the cond block forced XLA fallback)."""
     from vsnca_tpu.ops.pallas_step import (
         fused_flat_supported,
         fused_stream_flat_supported,
@@ -359,6 +360,7 @@ def test_kernel_gates_account_for_conditioning_vmem():
     edges = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
                       conditioning="edges")
     assert fused_flat_supported(edges, 256, 256)          # 497 fps measured
+    assert not fused_flat_supported(edges, 1024, 1024)    # cond 33.5 MB
     assert fused_stream_flat_supported(edges, 512, 512)   # 188 fps measured
-    assert not fused_stream_flat_supported(edges, 1024, 1024)  # cond 33.5 MB
-    assert select_rollout_kernel(edges, 1024, 1024) is None    # -> XLA
+    assert fused_stream_flat_supported(edges, 1024, 1024)  # cond streams now
+    assert select_rollout_kernel(edges, 1024, 1024) == "stream_flat"

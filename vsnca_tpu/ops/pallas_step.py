@@ -1177,125 +1177,183 @@ def _flat_percept(band, cond_tile, n, w, pad_mode, compute_dtype,
     return center, percept
 
 
-_MS_HALO = 5  # state rows of halo each side for the scale-(0,1) pipeline
+_MS_HALO = 6  # state rows of halo each side for the scale-(0,1) pipeline
+#             (the percept/adjoint reach is 5 rows; the 6th gives every
+#              framed VIEW below in-bounds slack, checked by trace-time
+#              asserts)
 
 
-def _ms_masks(n: int, w: int, t0, h: int, hb: int = _MS_HALO):
-    """Mask bundle for the scale-(0,1) flat pipeline on a [*, n + 2*hb*w]
-    band whose first halo row is GLOBAL row ``t0 - hb`` (mod h, circular).
-    ``t0`` may be a traced int (the fori-over-tiles backward); every
-    position-dependent coefficient is derived from the global row/col
-    index, so any tile offset and any tile_rows parity is correct.
-    Requires h % 2 == 0 and w % 2 == 0."""
+def _ms_masks_base(n: int, w: int, h: int, hb: int = _MS_HALO):
+    """Tile-INVARIANT part of the ms mask bundle on a [*, n + 2*hb*w] band:
+    column predicates, row parity (valid for EVEN tile offsets — the ms
+    planner enforces even tile_rows), and the modular row-index iota the
+    per-tile masks compare against. Computed once per kernel invocation
+    and closed over by the tile loops (the full bundle costs ~10 vector
+    ops; rebuilding it per tile per step measurably taxed the 64-tile
+    256^2 kernels)."""
     nb = n + 2 * hb * w
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % w
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) // w
-    grow = (t0 - hb + rowi) % h  # global row of each band position
     scol = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
     return {
         "col0": col == 0,
         "colw1": col == w - 1,
         "col_lt2": col < 2,
         "col_gew2": col >= w - 2,
-        "colw2": col == w - 2,
         "even_col": col % 2 == 0,
-        "even_row": grow % 2 == 0,
-        "grow0": grow == 0,
-        "growlast": grow == h - 1,
-        "growhm2": grow == h - 2,
+        "even_row": (rowi - hb) % 2 == 0,  # == global-row parity, t0 even
+        "rowi_mod_h": rowi % h,
         "sub_col0": scol == 0,
         "sub_colw1": scol == w - 1,
     }
 
 
-def _flat_percept_ms(band, cond_tile, n, w, compute_dtype, msk):
-    """(center [cp, n], percept [P, n]) for perception_scales == (0, 1) from
-    a flat band [cp, n + 2*_MS_HALO*w] (circular padding, _MS_HALO-row
-    halos each side).
+def _ms_masks_tile(base: dict, t0, h: int):
+    """Complete the bundle for the tile whose first interior row is GLOBAL
+    row ``t0`` (may be traced; must be EVEN): two vector compares against
+    the precomputed modular row iota."""
+    rm = base["rowi_mod_h"]
+    hb = _MS_HALO
+    return dict(
+        base,
+        grow0=rm == jnp.mod(hb - t0, h),
+        growlast=rm == jnp.mod(hb - t0 + h - 1, h),
+    )
+
+
+def _ms_masks(n: int, w: int, t0, h: int, hb: int = _MS_HALO):
+    """One-shot bundle (base + tile) — convenience for single-tile callers
+    and tests; kernels hoist ``_ms_masks_base`` out of their loops.
+    ``t0`` may be traced but must be EVEN (even tile_rows)."""
+    return _ms_masks_tile(_ms_masks_base(n, w, h, hb), t0, h)
+
+
+def _flat_percept_ms(band, cond_tile, n, w, compute_dtype, msk,
+                     wide_up: bool = True):
+    """(center [cp, n], percept [P, n]) for perception_scales == (0, 1)
+    from a flat band [cp, n + 2*_MS_HALO*w] (circular padding).
 
     Scale 1 == resize_bilinear 2x down -> perceive -> resize_bilinear 2x up
     (ops/perception.py::perceive_multiscale, reference
     ConditioneDyNCA/models/dynca.py:98-115) computed WITHOUT materializing
     the half grid: all values live at 'anchor' positions (even global
-    row & col) of the full-res flat band, so every tap is an aligned lane
-    roll — no strided gathers, no relayouts:
+    row & col) of the full-res flat band:
       * the 2x half-pixel-center downsample at integer factor 2 is the
         exact 2x2 cell average, evaluated at anchors;
       * the half-res 3x3 stencils read anchors +-2 rows/lanes under
-        circular wrap (W-wrap corrections at the row-boundary columns);
+        circular wrap (W-wrap corrections masked at the row-boundary
+        columns);
       * the 2x upsample is the 0.75/0.25 two-tap interpolation with edge
         CLAMP at global rows/cols 0 and last (align_corners=False).
-    Non-anchor lanes carry garbage through D/S; the upsample only ever
-    reads anchors, so they never surface."""
+    Non-anchor lanes carry garbage through the chain; the upsample only
+    ever reads anchors, so it never surfaces.
+
+    PERF SHAPE (the v5e finding that forced this form, docs/ROUND3.md):
+    pltpu.roll costs are LATENCY-bound (~us each), so every row-multiple
+    shift here is a framed VIEW (an aligned slice, fused into its consumer
+    for free) and only the irreducible +-1/+-2 LANE shifts are rolls — 6
+    per call in wide mode (bp1, dm2, dp2, and 3 in the 4-block-wide
+    upsample) vs ~34 in the naive one-roll-per-tap form. Frame bounds are
+    asserted at trace time. ``wide_up=False`` runs the upsample per cp
+    block (12 narrow rolls) for callers tight on scoped VMEM; wide and
+    narrow are elementwise-identical (same per-row expression trees), so
+    forward/recompute replay stays bit-exact across the choice."""
     cp = band.shape[0]
     hb = _MS_HALO
     nb = band.shape[-1]
+    assert nb == n + 2 * hb * w
 
     def sh(x, k):
-        """out[p] = x[p + k] (circular flat lane shift)."""
-        return pltpu.roll(x, (nb - k) % nb, axis=1)
+        """out[p] = x[p + k] (circular lane shift on x's own frame)."""
+        L = x.shape[-1]
+        return pltpu.roll(x, (L - k) % L, axis=1)
+
+    def fv(x, x_off, off, L):
+        """View of frame-(x_off) array x at band positions [off, off+L)."""
+        s = off - x_off
+        assert 0 <= s and s + L <= x.shape[-1], (s, L, x.shape)
+        return x[:, s : s + L]
+
+    def mv(name, off, L):
+        return fv(msk[name], 0, off, L)
 
     # ---- scale 0: the 1-row-halo percept on the inner sub-band ----
-    sub = band[:, (hb - 1) * w : (hb + 1) * w + n]
+    sub = fv(band, 0, (hb - 1) * w, n + 2 * w)
     center, p0 = _flat_percept(
         sub, None, n, w, "circular", jnp.float32,
         msk["sub_col0"], msk["sub_colw1"],
     )
 
     # ---- scale 1 ----
-    # Everything below runs BLOCK-WISE ([cp, nb] chains, never a [4cp, nb]
-    # concat): Mosaic's stack allocator keeps each stage's live set 4x
-    # smaller, which is what lets the 256^2 backward (whose pass-1 replays
-    # this percept) fit the 16 MB scoped-vmem limit.
-    # D: 2x2 cell average (valid at anchors; odd lanes/rows are garbage).
-    d = 0.25 * (band + sh(band, 1) + sh(band, w) + sh(band, w + 1))
+    # D: 2x2 cell average at anchors. Frame off 0, len n+11w.
+    Ld = nb - w
+    bp1 = sh(band, 1)
+    d = 0.25 * (fv(band, 0, 0, Ld) + fv(bp1, 0, 0, Ld)
+                + fv(band, 0, w, Ld) + fv(bp1, 0, w, Ld))
+    # Lane-shifted tap classes with the half-res W-wrap corrections folded
+    # in (masks are column predicates, so they commute with row offsets).
+    dm2 = sh(d, -2)  # dm2[i] = d[i-2]
+    dp2 = sh(d, 2)   # dp2[i] = d[i+2]
+    LM = Ld - w      # n+10w
+    # M0[p] = lt2[p] ? d[p+w-2] : d[p-2]   (frame off 0)
+    m0 = jnp.where(mv("col_lt2", 0, LM),
+                   fv(dm2, 0, w, LM), fv(dm2, 0, 0, LM))
+    # M2[p] = gew2[p] ? d[p+2-w] : d[p+2]  (frame off w)
+    m2 = jnp.where(mv("col_gew2", w, LM),
+                   fv(dp2, 0, 0, LM), fv(dp2, 0, w, LM))
 
-    # S: half-res 3x3 stencils — +-2 rows / +-2 lanes of d, accumulated
-    # tap-by-tap (one live tap instead of a 9-entry dict).
-    lt2, gew2 = msk["col_lt2"], msk["col_gew2"]
-    accs = [None, None, None]  # sx, sy, lap
-    for di in range(3):
-        for dj in range(3):
-            k = 2 * (di - 1) * w + 2 * (dj - 1)
-            t_ = sh(d, k)
-            if dj == 0:  # reads p-2: half-res W wrap at cols {0, 1}
-                t_ = jnp.where(lt2, sh(d, k + w), t_)
-            elif dj == 2:  # reads p+2: half-res W wrap at cols {w-2, w-1}
-                t_ = jnp.where(gew2, sh(d, k - w), t_)
-            for si, K in enumerate((SOBEL_X, SOBEL_Y, LAPLACIAN)):
+    # S: half-res 3x3 stencils as pure framed views of the tap classes:
+    # tap(di,dj)[p] = class_dj[p + 2(di-1)w]. s1 frame off 3w, len n+5w.
+    Ls = n + 5 * w
+    classes = ((m0, 0), (d, 0), (m2, w))
+
+    def stencil(K):
+        acc = None
+        for di in range(3):
+            for dj in range(3):
                 co = K[di][dj]
-                if co:
-                    v = float(co) * t_
-                    accs[si] = v if accs[si] is None else accs[si] + v
+                if not co:
+                    continue
+                arr, aoff = classes[dj]
+                v = float(co) * fv(arr, aoff, 3 * w + 2 * (di - 1) * w, Ls)
+                acc = v if acc is None else acc + v
+        return acc
+
+    raw = fv(d, 0, 3 * w, Ls)
+    blocks = [raw, stencil(SOBEL_X), stencil(SOBEL_Y), stencil(LAPLACIAN)]
 
     def up(s):
-        """2x upsample of one [cp, nb] anchor-valued block.
-        U over W: even col p -> 0.75 s[p] + 0.25 s[p-2] (clamped at col 0);
-        odd col p -> 0.75 s[p-1] + 0.25 s[p+1] (clamped at col w-1).
-        U over H: even global row -> 0.75 u[r] + 0.25 u[r-2] (clamped at
-        global row 0); odd -> 0.75 u[r-1] + 0.25 u[r+1] (clamped at h-1).
-        Returns the tile-interior slice [cp, n]."""
-        sm2 = jnp.where(msk["col0"], s, sh(s, -2))
+        """2x upsample of anchor-valued [*, Ls] (frame off 3w) -> [*, n]
+        (frame off 6w = the tile interior).
+        U over W: even col p -> 0.75 s[p] + 0.25 s[p-2] (clamp at col 0);
+        odd col p -> 0.75 s[p-1] + 0.25 s[p+1] (clamp at col w-1).
+        U over H: even global row -> 0.75 u[r] + 0.25 u[r-2] (clamp at
+        global row 0); odd -> 0.75 u[r-1] + 0.25 u[r+1] (clamp at h-1) —
+        all row taps are framed views."""
+        sm2 = jnp.where(mv("col0", 3 * w, Ls), s, sh(s, -2))
         sm1 = sh(s, -1)
-        sp1 = jnp.where(msk["colw1"], sm1, sh(s, 1))
-        uw = jnp.where(
-            msk["even_col"], 0.75 * s + 0.25 * sm2, 0.75 * sm1 + 0.25 * sp1
-        )
-        um2 = jnp.where(msk["grow0"], uw, sh(uw, -2 * w))
-        um1 = sh(uw, -w)
-        up1 = jnp.where(msk["growlast"], um1, sh(uw, w))
-        p1 = jnp.where(
-            msk["even_row"], 0.75 * uw + 0.25 * um2, 0.75 * um1 + 0.25 * up1
-        )
-        return p1[:, hb * w : hb * w + n]
+        sp1 = jnp.where(mv("colw1", 3 * w, Ls), sm1, sh(s, 1))
+        uw = jnp.where(mv("even_col", 3 * w, Ls),
+                       0.75 * s + 0.25 * sm2, 0.75 * sm1 + 0.25 * sp1)
+        u0 = fv(uw, 3 * w, 6 * w, n)
+        um1 = fv(uw, 3 * w, 5 * w, n)
+        um2 = jnp.where(mv("grow0", 6 * w, n), u0, fv(uw, 3 * w, 4 * w, n))
+        up1 = jnp.where(mv("growlast", 6 * w, n), um1,
+                        fv(uw, 3 * w, 7 * w, n))
+        return jnp.where(mv("even_row", 6 * w, n),
+                         0.75 * u0 + 0.25 * um2, 0.75 * um1 + 0.25 * up1)
 
-    parts = [
-        0.5 * (p0[k * cp : (k + 1) * cp] + up(blk))
-        for k, blk in enumerate((d, accs[0], accs[1], accs[2]))
-    ]
+    if wide_up:
+        p1 = up(jnp.concatenate(blocks, axis=0))
+        percept = 0.5 * (p0 + p1)
+    else:
+        percept = jnp.concatenate(
+            [0.5 * (p0[k * cp : (k + 1) * cp] + up(b))
+             for k, b in enumerate(blocks)],
+            axis=0,
+        )
     if cond_tile is not None:
-        parts.append(cond_tile)
-    percept = jnp.concatenate(parts, axis=0)
+        percept = jnp.concatenate([percept, cond_tile], axis=0)
     return center, percept.astype(compute_dtype)
 
 
@@ -1569,10 +1627,20 @@ def _make_kernel_stream_flat(
     """HBM-streaming flat-layout rollout: bands of ``band_h`` rows stream
     through VMEM as [cp, (band_h + 2) * W] lane ranges with double-buffered
     DMA, the flat tile update runs per ``tile_rows`` sub-tile, and the state
-    ping-pongs between two HBM buffers. Circular padding only: the H wrap
-    rows ride as one extra W-lane DMA on the boundary bands (lane-range DMA
-    slices carry none of the 8-sublane-row constraints of the [C, H, W]
-    streaming kernel)."""
+    ping-pongs between two HBM buffers.
+
+    The band walk is a PAIR-UNROLLED ``fori_loop`` (bands 2k/2k+1 per body
+    with STATIC buffer slots 0/1): program size is one body instead of
+    n_bands unrolled iterations — the 2048^2 grid compiled for ~15 minutes
+    through the remote Mosaic compiler as 256 unrolled bands
+    (docs/ROUND2.md), seconds as a loop. Band DMAs use traced lane offsets
+    (LANE-dim slices of a flat [C, H*W] memref carry no alignment
+    constraints) in a UNIFORM 3-DMA form (top halo / body / bottom halo,
+    modular) so every band — boundary or interior — is the same code path;
+    waits re-make the exact descriptor (same traced offsets => same byte
+    count). Circular padding only. Requires an EVEN number of bands.
+    The conditioning grid streams from HBM with its own double-buffered
+    band DMA (it no longer occupies a whole-grid VMEM block)."""
     f = cfg.fc_dim
     thr = _uniform_threshold(update_rate)
     n_bands = h // band_h
@@ -1581,16 +1649,17 @@ def _make_kernel_stream_flat(
     hw = h * w
     bw = band_h * w
     assert cfg.padding_mode == "circular"
+    assert n_bands % 2 == 0, "streaming kernel needs an even band count"
     has_cond = ccp > 0
 
     def kernel(seed_ref, x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, *rest):
         if has_cond:
-            (cond_ref, out_ref, tmp_ref, band_in, band_out,
+            (cond_ref, out_ref, tmp_ref, band_in, band_out, cond_in,
              load_sem, store_sem, copy_sem) = rest
         else:
             (out_ref, tmp_ref, band_in, band_out,
              load_sem, store_sem, copy_sem) = rest
-            cond_ref = None
+            cond_ref = cond_in = None
 
         bidx = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + bidx)
@@ -1603,47 +1672,54 @@ def _make_kernel_stream_flat(
         is_col0 = col == 0
         is_colw1 = col == w - 1
 
-        def start_load(src, b, slot):
-            """DMA band b's rows + 1-row halos into band_in[slot] =
-            [cp, (band_h + 2) * w]. Waits must reuse these exact started
-            descriptors (DMA semaphores count bytes)."""
+        def load_dmas(src, b, slot):
+            """Uniform modular band load: top halo / body / bottom halo
+            (+ the cond band). b may be traced; identical descriptors are
+            re-made at wait time (DMA semaphores count bytes)."""
             o = b * bw
-            dmas = []
-            if 0 < b < n_bands - 1:
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(o - w, bw + 2 * w)],
-                    band_in.at[slot], load_sem.at[slot],
-                ))
-            elif b == 0:  # top halo wraps to the last row
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(hw - w, w)],
+            dmas = [
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds((o - w) % hw, w)],
                     band_in.at[slot, :, 0:w], load_sem.at[slot],
-                ))
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(0, bw + w)],
-                    band_in.at[slot, :, w : bw + 2 * w], load_sem.at[slot],
-                ))
-            else:  # last band: bottom halo wraps to row 0
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(o - w, bw + w)],
-                    band_in.at[slot, :, 0 : bw + w], load_sem.at[slot],
-                ))
-                dmas.append(pltpu.make_async_copy(
-                    src.at[:, pl.ds(0, w)],
+                ),
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds(o, bw)],
+                    band_in.at[slot, :, w : bw + w], load_sem.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds((o + bw) % hw, w)],
                     band_in.at[slot, :, bw + w : bw + 2 * w],
                     load_sem.at[slot],
+                ),
+            ]
+            if cond_ref is not None:
+                dmas.append(pltpu.make_async_copy(
+                    cond_ref.at[bidx, :, pl.ds(o, bw)],
+                    cond_in.at[slot], load_sem.at[slot],
                 ))
-            for d in dmas:
-                d.start()
             return dmas
 
-        def compute_band(b, slot):
+        def start_load(src, b, slot):
+            for d in load_dmas(src, b, slot):
+                d.start()
+
+        def wait_load(src, b, slot):
+            for d in load_dmas(src, b, slot):
+                d.wait()
+
+        def store_dma(dst, b, slot):
+            return pltpu.make_async_copy(
+                band_out.at[slot], dst.at[:, pl.ds(b * bw, bw)],
+                store_sem.at[slot],
+            )
+
+        def compute_band(slot):
             for t in range(n_tiles):
-                t0 = t * n  # lane offset of the tile within the band
+                t0 = t * n
                 band = band_in[slot, :, t0 : t0 + n + 2 * w]
                 cond_tile = (
-                    cond_ref[0, :, b * bw + t0 : b * bw + t0 + n]
-                    if cond_ref is not None else None
+                    cond_in[slot, :, t0 : t0 + n]
+                    if cond_in is not None else None
                 )
                 band_out[slot, :, t0 : t0 + n] = _flat_tile_update(
                     band, cond_tile, w1t_ref, b1_ref, w2t_ref, b2_ref,
@@ -1651,32 +1727,41 @@ def _make_kernel_stream_flat(
                     is_col0, is_colw1,
                 )
 
-        def store_band(dst, b, slot):
-            dma = pltpu.make_async_copy(
-                band_out.at[slot],
-                dst.at[:, pl.ds(b * bw, bw)],
-                store_sem.at[slot],
-            )
-            dma.start()
-            return dma
-
         def run_step(src, dst):
-            loads = [None, None]
-            stores = [None, None]
-            loads[0] = start_load(src, 0, 0)
-            for b in range(n_bands):
-                slot = b % 2
-                if b + 1 < n_bands:
-                    loads[1 - slot] = start_load(src, b + 1, 1 - slot)
-                for d in loads[slot]:
-                    d.wait()
-                if stores[slot] is not None:
-                    stores[slot].wait()
-                compute_band(b, slot)
-                stores[slot] = store_band(dst, b, slot)
-            for st in stores:
-                if st is not None:
-                    st.wait()
+            start_load(src, 0, 0)
+
+            def pair_body(k, carry):
+                b0 = 2 * k
+                b1 = b0 + 1
+                # slot 0: band b0
+                start_load(src, b1, 1)
+                wait_load(src, b0, 0)
+
+                @pl.when(k > 0)
+                def _():
+                    store_dma(dst, b0 - 2, 0).wait()
+
+                compute_band(0)
+                store_dma(dst, b0, 0).start()
+
+                # slot 1: band b1 (prefetch next pair's b0 first)
+                @pl.when(b1 + 1 < n_bands)
+                def _():
+                    start_load(src, b1 + 1, 0)
+
+                wait_load(src, b1, 1)
+
+                @pl.when(k > 0)
+                def _():
+                    store_dma(dst, b1 - 2, 1).wait()
+
+                compute_band(1)
+                store_dma(dst, b1, 1).start()
+                return carry
+
+            jax.lax.fori_loop(0, n_bands // 2, pair_body, 0)
+            store_dma(dst, n_bands - 2, 0).wait()
+            store_dma(dst, n_bands - 1, 1).wait()
 
         def one_step(i, carry):
             @pl.when(i % 2 == 0)
@@ -1702,12 +1787,14 @@ def _make_kernel_stream_flat(
 
 def _pick_band_rows_flat(h: int, w: int, cp: int,
                          budget_bytes: int = 8 * 2**20) -> int:
-    """Largest divisor of H (<= H/2: >= 2 bands so a band's halos never both
-    wrap) whose double-buffered flat band buffers fit the budget."""
+    """Largest divisor of H giving an EVEN band count (the pair-unrolled
+    fori band walk processes bands two at a time) whose double-buffered
+    flat band buffers fit the budget."""
     best = 1
     row_bytes = cp * w * 4
     for bh in range(1, h // 2 + 1):
-        if h % bh == 0 and (4 * bh + 4) * row_bytes <= budget_bytes:
+        if (h % bh == 0 and (h // bh) % 2 == 0
+                and (4 * bh + 4) * row_bytes <= budget_bytes):
             best = bh
     return best
 
@@ -1763,10 +1850,8 @@ def fused_rollout_stream_flat_chw(
         cf = jnp.pad(cond, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))).reshape(
             b, ccp, hw
         )
-        in_specs.append(
-            pl.BlockSpec((1, ccp, hw), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        # cond streams from HBM band-by-band (no whole-grid VMEM block)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
         args.append(cf.astype(jnp.float32))
 
     flops_step = 2 * hw * (p_dim * cfg.fc_dim + cfg.fc_dim * cp)
@@ -1791,13 +1876,19 @@ def fused_rollout_stream_flat_chw(
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, cp, (band_h + 2) * w), jnp.float32),
-                pltpu.VMEM((2, cp, band_h * w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((2, cp, (band_h + 2) * w), jnp.float32),
+                    pltpu.VMEM((2, cp, band_h * w), jnp.float32),
+                ]
+                + ([pltpu.VMEM((2, ccp, band_h * w), jnp.float32)]
+                   if cc else [])
+                + [
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA(()),
+                ]
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=b * n_steps * flops_step,
                 bytes_accessed=2 * b * n_steps * cp * hw * 4,
@@ -1810,22 +1901,21 @@ def fused_rollout_stream_flat_chw(
 
 def fused_stream_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
     """True when the flat-layout streaming kernel applies (big circular
-    grids, single-scale perception). Conditioned configs keep the WHOLE
-    conditioning grid in VMEM as one block, so it counts against the
-    budget — a 1024² edge-conditioned stylizer correctly falls back to XLA
-    instead of OOMing the scoped-vmem allocator."""
+    grids, single-scale perception). The conditioning grid streams from
+    HBM band-by-band, so only its double-buffered band counts against the
+    VMEM budget — 1024²+ edge-conditioned stylizers now stream instead of
+    falling back to XLA."""
     if tuple(cfg.perception_scales) != (0,):
         return False
     if cfg.padding_mode != "circular" or w % _LANE != 0:
         return False
     cp = _round8(cfg.c_in)
     band_h = _pick_band_rows_flat(h, w, cp)
-    if h % band_h != 0 or h <= band_h:
+    if h % band_h != 0 or h <= band_h or (h // band_h) % 2 != 0:
         return False
+    ccp = _round8(cfg.c_cond) if cfg.conditioning is not None else 0
     band_bytes = (2 * (band_h + 2) + 2 * band_h) * cp * w * 4
-    cond_bytes = (
-        _round8(cfg.c_cond) * h * w * 4 if cfg.conditioning is not None else 0
-    )
+    cond_bytes = 2 * ccp * band_h * w * 4
     return band_bytes + cond_bytes < 14 * 2**20
 
 

@@ -54,6 +54,8 @@ from vsnca_tpu.ops.pallas_step import (
     _flat_tile_update,
     _flat_tile_update_ms,
     _ms_masks,
+    _ms_masks_base,
+    _ms_masks_tile,
     _mlp_dx,
     _pick_tile_h,
     _pick_tile_rows,
@@ -274,7 +276,7 @@ def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
 
     gx1 = 0.25 * (gd + sh(gd, -1) + sh(gd, -w) + sh(gd, -w - 1))  # D^T
     adj = 0.5 * (gx0 + gx1)
-    return adj[:, w : w + n + 8 * w]
+    return adj[:, (hb - 4) * w : (hb - 4) * w + n + 8 * w]
 
 
 def _make_fwd_kernel(
@@ -946,6 +948,7 @@ def _make_fwd_kernel_flat_tiled_ms(
     assert cfg.padding_mode == "circular"
     assert tuple(cfg.perception_scales) == (0, 1)
     assert h % 2 == 0 and w % 2 == 0 and tile_rows >= 4
+    assert tile_rows % 2 == 0  # hoisted row-parity mask needs even offsets
     assert n_tiles >= 2
     has_cond = ccp > 0
 
@@ -972,6 +975,8 @@ def _make_fwd_kernel_flat_tiled_ms(
                 t, n_tiles, tile_rows, w, _MS_HALO,
             )
 
+        ms_base = _ms_masks_base(n, w, h)
+
         def run_step(src, dst):
             def one_t(t, carry):
                 cond_tile = condt_ref[0, t] if condt_ref is not None else None
@@ -979,7 +984,7 @@ def _make_fwd_kernel_flat_tiled_ms(
                     band_of(src, t), cond_tile,
                     w1t_ref, b1_ref, w2t_ref, b2_ref,
                     cp, f, n, w, thr, compute_dtype,
-                    _ms_masks(n, w, t * tile_rows, h),
+                    _ms_masks_tile(ms_base, t * tile_rows, h),
                 )
                 return carry
 
@@ -1225,8 +1230,10 @@ def _make_bwd_kernel_flat_tiled(
     ms = tuple(cfg.perception_scales) == (0, 1)
     if ms:
         # tile_rows >= 4 keeps the 4-row adjoint reach within one neighbor
-        # tile; the 5-row percept halo may span two (multi-tile bands).
+        # tile; the percept halo may span two (multi-tile bands); even
+        # tile offsets keep the hoisted row-parity mask tile-invariant.
         assert h % 2 == 0 and w % 2 == 0 and tile_rows >= 4
+        assert tile_rows % 2 == 0
     # Adjoint reach: rows of neighbor-tile overlap the scatter must carry
     # (1 for the 3x3 stencil, 4 for the scale-(0,1) down/stencil/up chain).
     ew = (4 if ms else 1) * w
@@ -1283,7 +1290,12 @@ def _make_bwd_kernel_flat_tiled(
                 t, n_tiles, tile_rows, w, hb,
             )
 
-        def tile_percept(src_k, t):
+        ms_base = _ms_masks_base(n, w, h) if ms else None
+
+        def tile_masks(t):
+            return _ms_masks_tile(ms_base, t * tile_rows, h)
+
+        def tile_percept(src_k, t, msk=None):
             cond_tile = None
             if condt_ref is not None:
                 # cond stays in HBM (tiled layout): per-tile DMA into a
@@ -1298,7 +1310,7 @@ def _make_bwd_kernel_flat_tiled(
             if ms:
                 return _flat_percept_ms(
                     band_of_tiled(src_k, t, _MS_HALO), cond_tile, n, w,
-                    compute_dtype, _ms_masks(n, w, t * tile_rows, h),
+                    compute_dtype, tile_masks(t) if msk is None else msk,
                 )
             return _flat_percept(
                 band_of_tiled(src_k, t), cond_tile, n, w, "circular",
@@ -1345,7 +1357,7 @@ def _make_bwd_kernel_flat_tiled(
 
             jax.lax.fori_loop(0, segment - 1, one_k, 0)
 
-        def adj_of(gp_tile, t):
+        def adj_of(gp_tile, t, msk=None):
             """Adjoint band [cp, n + 2*ew] from one tile's gp [4cp, n]
             (cross-tile halo contributions emerge as the band's edge rows).
             Scale-0: flipped-stencil correlation on a zero-padded band.
@@ -1353,7 +1365,8 @@ def _make_bwd_kernel_flat_tiled(
             (t feeds the global-row masks; t may be traced)."""
             if ms:
                 return _flat_percept_ms_adj(
-                    gp_tile, _ms_masks(n, w, t * tile_rows, h), cp, n, w,
+                    gp_tile, tile_masks(t) if msk is None else msk,
+                    cp, n, w,
                 )
             z = jnp.zeros((4 * cp, 2 * w), gp_tile.dtype)
             gpb = jnp.concatenate([z, gp_tile, z], axis=1)  # [4cp, n+4w]
@@ -1380,7 +1393,8 @@ def _make_bwd_kernel_flat_tiled(
             pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
 
             def tile_body(t, carry):
-                _, percept = tile_percept(k, t)
+                msk = tile_masks(t) if ms else None
+                _, percept = tile_percept(k, t, msk)
                 mask = _draw_mask_flat(n, thr)
                 # relu mask derived from hid (hid > 0 <=> z1 > 0): one
                 # fewer [F, n] f32 stack buffer than keeping z1 around.
@@ -1434,7 +1448,7 @@ def _make_bwd_kernel_flat_tiled(
                     def _():
                         gxt_ref[j - 1, :, n - ew :] += adj[:, : ew]
 
-                adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t)
+                adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t, msk)
                 return carry
 
             jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -1776,10 +1790,12 @@ def plan_flat_train(
                 nt = tr * w
                 if h // tr < 2:
                     continue
-                if ms and tr < 4:
+                if ms and (tr < 4 or tr % 2):
                     continue  # ms: 4-row adjoint reach must stay within
                     #           one neighbor tile (modular band READS may
-                    #           span several; duplicates are fine)
+                    #           span several; duplicates are fine), and
+                    #           EVEN tile offsets keep the hoisted row-
+                    #           parity mask tile-invariant
                 for k in (1, 2, 4, 8, 16):
                     if n_steps % k:
                         continue
