@@ -378,9 +378,10 @@ class DyNCATrainer:
                 print(
                     "[vsnca_tpu] fused custom-VJP training kernels selected: "
                     "the first compile per rollout-length bucket takes "
-                    "minutes (remote Mosaic); set rollout_path='xla' in "
-                    "TrainConfig to skip. Tapped (video-motion) rollouts "
-                    "always use the XLA path.",
+                    "seconds to minutes (remote Mosaic); set "
+                    "rollout_path='xla' in TrainConfig to skip. Tapped "
+                    "(video-motion) rollouts run as per-tap fused chunks "
+                    "when the plan supports the chunk length.",
                     flush=True,
                 )
         self.mesh = mesh
