@@ -38,6 +38,15 @@ class InteractiveGrower:
         self._step_fn = jax.jit(
             lambda p, s, g, k: conditioned_nca_step(p, s, g, k, cfg)
         )
+        # Multi-step chunks route through the fused whole-rollout kernel on
+        # TPU (one dispatch per chunk instead of one per step — the
+        # interactive grower is dispatch-bound at 64^2).
+        from vsnca_tpu.ops.pallas_cnca import fused_cnca_supported
+
+        self._use_fused = (
+            jax.default_backend() == "tpu"
+            and fused_cnca_supported(cfg, self.size, self.size)
+        )
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -52,6 +61,15 @@ class InteractiveGrower:
         self.state = conditioned_nca_seed(self.cfg, 1, self.size)
 
     def step(self, n: int = 1) -> np.ndarray:
+        if n > 1 and self._use_fused:
+            from vsnca_tpu.ops.pallas_cnca import fused_cnca_rollout
+
+            seed = int(jax.random.randint(self._split(), (), 0, 1 << 30))
+            self.state = fused_cnca_rollout(
+                self.params, self.state, self.goal_encoding, seed,
+                self.cfg, n,
+            )
+            return self.rgb()
         for _ in range(n):
             self.state = self._step_fn(
                 self.params, self.state, self.goal_encoding, self._split()

@@ -1633,11 +1633,15 @@ def _make_kernel_stream_flat(
     with STATIC buffer slots 0/1): program size is one body instead of
     n_bands unrolled iterations — the 2048^2 grid compiled for ~15 minutes
     through the remote Mosaic compiler as 256 unrolled bands
-    (docs/ROUND2.md), seconds as a loop. Band DMAs use traced lane offsets
-    (LANE-dim slices of a flat [C, H*W] memref carry no alignment
-    constraints) in a UNIFORM 3-DMA form (top halo / body / bottom halo,
-    modular) so every band — boundary or interior — is the same code path;
-    waits re-make the exact descriptor (same traced offsets => same byte
+    (docs/ROUND2.md), seconds as a loop. The state ping-pong buffers live
+    in HBM as [n_bands, cp, band_h*w]: the traced band index rides the
+    LEADING dim (the validated Mosaic dynamic-indexing pattern) and every
+    halo slice is a STATIC lane range — traced LANE-dim offsets are NOT
+    lowerable (tpu.memref_slice rejects dynamic lane offsets on both HBM
+    and VMEM memrefs; found the hard way, docs/ROUND3.md). Loads are a
+    UNIFORM 3-DMA form (top halo / body / bottom halo, modular leading
+    index) so every band — boundary or interior — is the same code path;
+    waits re-make the exact descriptor (same traced indices => same byte
     count). Circular padding only. Requires an EVEN number of bands.
     The conditioning grid streams from HBM with its own double-buffered
     band DMA (it no longer occupies a whole-grid VMEM block)."""
@@ -1674,27 +1678,29 @@ def _make_kernel_stream_flat(
 
         def load_dmas(src, b, slot):
             """Uniform modular band load: top halo / body / bottom halo
-            (+ the cond band). b may be traced; identical descriptors are
-            re-made at wait time (DMA semaphores count bytes)."""
-            o = b * bw
+            (+ the cond band). b may be traced (leading-dim index only);
+            identical descriptors are re-made at wait time (DMA semaphores
+            count bytes)."""
+            bp = (b - 1) % n_bands
+            bn = (b + 1) % n_bands
             dmas = [
                 pltpu.make_async_copy(
-                    src.at[:, pl.ds((o - w) % hw, w)],
+                    src.at[bp, :, bw - w :],
                     band_in.at[slot, :, 0:w], load_sem.at[slot],
                 ),
                 pltpu.make_async_copy(
-                    src.at[:, pl.ds(o, bw)],
+                    src.at[b],
                     band_in.at[slot, :, w : bw + w], load_sem.at[slot],
                 ),
                 pltpu.make_async_copy(
-                    src.at[:, pl.ds((o + bw) % hw, w)],
+                    src.at[bn, :, :w],
                     band_in.at[slot, :, bw + w : bw + 2 * w],
                     load_sem.at[slot],
                 ),
             ]
             if cond_ref is not None:
                 dmas.append(pltpu.make_async_copy(
-                    cond_ref.at[bidx, :, pl.ds(o, bw)],
+                    cond_ref.at[bidx, b],
                     cond_in.at[slot], load_sem.at[slot],
                 ))
             return dmas
@@ -1709,7 +1715,7 @@ def _make_kernel_stream_flat(
 
         def store_dma(dst, b, slot):
             return pltpu.make_async_copy(
-                band_out.at[slot], dst.at[:, pl.ds(b * bw, bw)],
+                band_out.at[slot], dst.at[b],
                 store_sem.at[slot],
             )
 
@@ -1834,7 +1840,14 @@ def fused_rollout_stream_flat_chw(
     assert h % band_h == 0 and band_h % tile_rows == 0
     assert h // band_h >= 2, "streaming kernel needs >= 2 bands"
 
-    xf = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0))).reshape(b, cp, hw)
+    n_bands = h // band_h
+    bw = band_h * w
+    # Banded HBM layout [n_bands, cp, bw]: traced band indices ride the
+    # LEADING dim (traced lane offsets don't lower — see the kernel doc).
+    xf = (
+        jnp.pad(x, ((0, 0), (0, cp - c), (0, 0), (0, 0)))
+        .reshape(b, cp, n_bands, bw).transpose(0, 2, 1, 3)
+    )
     w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, cdt)
 
     rep = lambda shape: pl.BlockSpec(
@@ -1847,8 +1860,9 @@ def fused_rollout_stream_flat_chw(
     ]
     args = [jnp.asarray(seed, jnp.int32).reshape(1), xf, w1t, b1, w2t, b2]
     if cc:
-        cf = jnp.pad(cond, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))).reshape(
-            b, ccp, hw
+        cf = (
+            jnp.pad(cond, ((0, 0), (0, ccp - cc), (0, 0), (0, 0)))
+            .reshape(b, ccp, n_bands, bw).transpose(0, 2, 1, 3)
         )
         # cond streams from HBM band-by-band (no whole-grid VMEM block)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
@@ -1868,8 +1882,8 @@ def fused_rollout_stream_flat_chw(
             ),
             grid=(b,),
             out_shape=(
-                jax.ShapeDtypeStruct((b, cp, hw), jnp.float32),
-                jax.ShapeDtypeStruct((1, cp, hw), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_bands, cp, bw), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_bands, cp, bw), jnp.float32),
             ),
             in_specs=in_specs,
             out_specs=(
@@ -1896,7 +1910,8 @@ def fused_rollout_stream_flat_chw(
             ),
             interpret=interpret,
         )(*args)
-    return out.reshape(b, cp, h, w)[:, :c]
+    out = out.transpose(0, 2, 1, 3).reshape(b, cp, h, w)
+    return out[:, :c]
 
 
 def fused_stream_flat_supported(cfg: NCAConfig, h: int, w: int) -> bool:
