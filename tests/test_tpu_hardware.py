@@ -177,3 +177,43 @@ def test_ms_fused_pair_hardware_grad_parity():
         scale = float(jnp.abs(gs[k]).max()) + 1e-12
         err = float(jnp.abs(gf[k] - gs[k]).max()) / scale
         assert err < 5e-4, (k, err)
+
+
+def test_stream_flat_kernel_hardware_parity():
+    """Banded-layout streaming kernel (fori-over-band-pairs, leading-dim
+    DMA indices) on real hardware: 1-step parity vs XLA + mask fraction —
+    the pytest form of scripts/bench_flat_kernel.py's 512px+ checks, at a
+    suite-friendly size."""
+    from vsnca_tpu.ops.pallas_step import (
+        fused_rollout_stream_flat_chw,
+        fused_stream_flat_supported,
+    )
+
+    cfg1 = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
+                     conditioning="edges", update_rate=1.0)
+    h = w = 256
+    assert fused_stream_flat_supported(cfg1, h, w)
+    params = dynca_init(jax.random.PRNGKey(0), cfg1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 12, h, w)) - 0.5
+    xh = jnp.transpose(x, (0, 2, 3, 1))
+    cond = make_conditioning(
+        cfg1, (h, w),
+        cond_img=jax.random.uniform(jax.random.PRNGKey(2), (1, h, w, 1)),
+        batch=1,
+    )
+    condc = jnp.transpose(cond, (0, 3, 1, 2))
+
+    ref, _ = dynca_rollout(params, xh, jax.random.PRNGKey(3), cfg1, 1,
+                           cond=cond, remat="none")
+    got = fused_rollout_stream_flat_chw(params, x, jnp.int32(0), cfg1, 1,
+                                        cond=condc)
+    d = jnp.abs(jnp.transpose(got, (0, 2, 3, 1)) - ref)
+    assert float(jnp.mean(d)) < 1e-7 and float(jnp.max(d)) < 1e-3
+
+    # stochastic mask fraction at rate=0.5
+    cfg5 = NCAConfig(c_in=12, fc_dim=96, padding_mode="circular",
+                     conditioning="edges")
+    out = fused_rollout_stream_flat_chw(params, x, jnp.int32(7), cfg5, 1,
+                                        cond=condc)
+    changed = float(jnp.mean(jnp.any(out != x, axis=1)))
+    assert 0.45 < changed < 0.55
