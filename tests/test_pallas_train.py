@@ -463,3 +463,42 @@ def test_plan_flat_train_ms_gating():
     plan = plan_flat_train(ms16, 128, 128, 64, need_dcond=False)
     assert plan is not None and plan[1] == "tiled" and plan[2] >= 5
     assert plan_flat_train(ms16, 129, 128, 64) is None  # odd H
+
+
+def test_trainer_chunked_tap_fused_matches_xla_taps():
+    """The trainer's tapped (video-motion) rollout as n_motion_frames
+    fused chunks == the XLA two-level tap scan, end-to-end through
+    make_train_step at update_rate=1.0: identical loss and updated params
+    (the chunked path is how the 256^2 video-motion preset trains on
+    TPU — reference hot loop fit_video_motion.py:229-235)."""
+    import optax
+
+    from vsnca_tpu.losses.orchestrator import LossState
+    from vsnca_tpu.config import LossConfig
+    from vsnca_tpu.train.trainer import make_train_step
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    loss_state = LossState(cfg=LossConfig(overflow_weight=1.0))
+    opt = optax.adam(1e-3)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    states = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 128, 8)) - 0.5
+    key = jax.random.PRNGKey(2)
+
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for rp in ("fused", "xla"):
+            step = make_train_step(cfg, loss_state, opt, rollout_path=rp)
+            p2, _, new_states, loss, _ = step(
+                params, opt_state, states, key, {},
+                step_n=8, n_motion_frames=2, tap_every=4,
+            )
+            outs[rp] = (p2, new_states, float(loss))
+
+    assert outs["fused"][2] == pytest.approx(outs["xla"][2], rel=1e-5)
+    _grads_match(outs["fused"][0], outs["xla"][0], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["fused"][1]), np.asarray(outs["xla"][1]),
+        rtol=1e-4, atol=1e-5,
+    )
