@@ -119,19 +119,32 @@ def bench_grad_pair(size, c_in, fc_dim, steps=64, batch=2, iters=8,
         jax.random.PRNGKey(1), (batch, size, size, c_in)) - 0.5
 
     def time_grad(fn):
+        # UNCHAINED same-arg calls + one final fetch: per_step-remat grad
+        # programs are long chains of small kernels whose dispatches only
+        # amortize when calls pipeline — an input-chained loop serializes
+        # them and measures axon dispatch latency instead of compute
+        # (measured 1672 ms chained vs 15.3 ms unchained at 128^2 b4;
+        # docs/ROUND3.md). The device stream still serializes execution,
+        # so the final fetch bounds all iters.
         g = jax.jit(jax.grad(fn))
-        acc = x
-        _fetch(g(params, acc))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            gr = g(params, acc)
-            acc = acc + 0.0 * gr["b2"][None, None, None, :c_in].sum()
-        _fetch(acc)
-        return (time.perf_counter() - t0) / iters * 1e3
+        _fetch(g(params, x))  # compile + warm
+
+        def one_round():
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                gr = g(params, x)
+            _fetch(gr["w1"])
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        # min of 2 rounds: XLA-side dispatch timing on the tunneled axon
+        # stack is transiently noisy (15-100 ms spread observed for the
+        # same warm program); the fused single-kernel side is stable.
+        return min(one_round(), one_round())
 
     def ls(p, xx):
+        # segment:8 = the remat the production presets train with
         s, _ = dynca_rollout(p, xx, jax.random.PRNGKey(2), cfg, steps,
-                             remat="per_step")
+                             remat="segment:8")
         return jnp.sum(s ** 2)
 
     xla_ms = time_grad(ls)

@@ -30,7 +30,6 @@ Design notes:
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

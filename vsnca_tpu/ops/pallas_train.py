@@ -53,7 +53,6 @@ from vsnca_tpu.ops.pallas_step import (
     _flat_percept_ms,
     _flat_tile_update,
     _flat_tile_update_ms,
-    _ms_masks,
     _ms_masks_base,
     _ms_masks_tile,
     _mlp_dx,
