@@ -450,3 +450,72 @@ def test_train_step_precomputed_targets_identical():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_orchestrator_frame_batched_appearance_matches_loop():
+    """The orchestrator stacks a shared-target tapped-frame list into one
+    VGG call (losses/orchestrator.py); the result must equal the per-frame
+    loop sum/len for every metric (the loop reuses one key per frame, the
+    stacked call draws once — key-identical)."""
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(21)
+    frames = [
+        jnp.asarray(rng.rand(2, 48, 48, 3).astype(np.float32) * 2 - 1)
+        for _ in range(3)
+    ]
+    style = jnp.asarray(rng.rand(2, 48, 48, 3).astype(np.float32) * 2 - 1)
+    key = jax.random.PRNGKey(5)
+    for lt in ("Gram", "OT", "SlW"):
+        cfg = LossConfig(appearance_weight=1.0, appearance_loss_type=lt)
+        loss_fn = make_loss_fn(LossState(cfg=cfg, vgg_params=vgg))
+        d = {
+            "nca_state": jnp.zeros((2, 8, 8, 12)),
+            "generated_image_list": frames,
+            "target_image_list": [style] * 3,
+        }
+        batched, _ = loss_fn(d, key)
+        # manual per-frame loop with the orchestrator's key schedule
+        _, sub = jax.random.split(key)
+        loop = sum(
+            appearance_loss(vgg, g, style, lt, sub) for g in frames
+        ) / 3.0
+        np.testing.assert_allclose(float(batched), float(loop), rtol=2e-5), lt
+
+
+def test_video_motion_pair_batched_matches_per_pair_calls():
+    """video_motion_loss stacks all generated/target pairs through one MSOE
+    forward; per-pair features must match individual motion_feature calls
+    and the metric must match the naive per-pair loop."""
+    from vsnca_tpu.losses.video_motion import motion_feature
+
+    msoe = msoe_random_init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(22)
+    gen = [
+        jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+        for _ in range(4)
+    ]
+    tgt = [
+        jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+        for _ in range(4)
+    ]
+    key = jax.random.PRNGKey(6)
+    got, (flow_g, flow_t) = video_motion_loss(
+        msoe, gen, tgt, "MotionGram", key, (32, 32)
+    )
+    ref = 0.0
+    for i in range(3):
+        fg, fl_g = motion_feature(msoe, gen[i], gen[i + 1], (32, 32))
+        ft, fl_t = motion_feature(msoe, tgt[i], tgt[i + 1], (32, 32))
+        x = fg.reshape(2, -1, 320)
+        gg = jnp.einsum("bnc,bnd->bcd", x, x) / (320 * 32 * 32)
+        y = ft.reshape(2, -1, 320)
+        gt = jnp.einsum("bnc,bnd->bcd", y, y) / (320 * 32 * 32)
+        ref = ref + jnp.mean((gt - gg) ** 2)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    # last-pair flow summaries survive the batched restructure
+    np.testing.assert_allclose(
+        np.asarray(flow_g), np.asarray(fl_g), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(flow_t), np.asarray(fl_t), rtol=1e-4, atol=1e-6
+    )

@@ -214,6 +214,17 @@ def appearance_loss(
             vgg_params, tgt, include_image_as_feat=include_img
         )
         tgt_f = [jax.lax.stop_gradient(t) for t in tgt_f]
+    if tgt_f[0].shape[0] != gen_f[0].shape[0]:
+        # Frame-batched generated stacks (orchestrator stacks the tapped
+        # frame list on the batch axis against one shared style target):
+        # tile the target features up to the generated batch so the
+        # per-item metrics pair every generated item with the style batch.
+        rep, rem = divmod(gen_f[0].shape[0], tgt_f[0].shape[0])
+        assert rem == 0, (
+            f"generated batch {gen_f[0].shape[0]} is not a multiple of the "
+            f"target batch {tgt_f[0].shape[0]}"
+        )
+        tgt_f = [jnp.tile(t, (rep,) + (1,) * (t.ndim - 1)) for t in tgt_f]
 
     if loss_type == "Gram":
         return gram_loss(gen_f, tgt_f)

@@ -106,14 +106,37 @@ def make_loss_fn(state: LossState) -> Callable:
             # Optional precomputed style features (constant across
             # iterations — see precompute_target_style_features).
             tgt_feats = input_dict.get("target_style_features")
-            l = 0.0
-            for g, t in zip(gen_list, tgt_list):
-                l = l + appearance_loss(
-                    state.vgg_params, g, t, cfg.appearance_loss_type, sub,
+            one_target = all(t is tgt_list[0] for t in tgt_list[1:]) and all(
+                g.shape == gen_list[0].shape for g in gen_list
+            )
+            if len(gen_list) > 1 and one_target:
+                # Tapped-frame lists share ONE style target (the trainer
+                # builds [target_style] * n_frames, fit_video_motion.py:243)
+                # — stack the frames on the batch axis so the n_frames VGG
+                # forwards (and their backwards) run as ONE larger-batch
+                # call. Per-item metrics then average over frames*batch,
+                # which equals the per-frame mean-loss average exactly;
+                # SlW SUMS over items, so it needs the explicit /n_frames.
+                # The unbatched loop reuses the same `sub` key per frame,
+                # so the single stacked draw is key-identical too.
+                gen = jnp.concatenate(gen_list, axis=0)
+                l = appearance_loss(
+                    state.vgg_params, gen, tgt_list[0],
+                    cfg.appearance_loss_type, sub,
                     cfg.ot_subsample, cfg.slw_projections,
                     target_features=tgt_feats,
                 )
-            l = l / len(gen_list)
+                if cfg.appearance_loss_type == "SlW":
+                    l = l / len(gen_list)
+            else:
+                l = 0.0
+                for g, t in zip(gen_list, tgt_list):
+                    l = l + appearance_loss(
+                        state.vgg_params, g, t, cfg.appearance_loss_type, sub,
+                        cfg.ot_subsample, cfg.slw_projections,
+                        target_features=tgt_feats,
+                    )
+                l = l / len(gen_list)
             logs["appearance"] = l * cfg.appearance_weight
             total = total + cfg.appearance_weight * l
 

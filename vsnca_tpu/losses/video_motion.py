@@ -117,28 +117,67 @@ def video_motion_loss(
             "target_features (precomputed per-pair MSOE features)"
         )
 
-    loss = 0.0
-    flow_g = flow_t = None
-    for idx in range(len(generated_frames) - 1):
-        fg, flow_g = motion_feature(
-            msoe_params, generated_frames[idx], generated_frames[idx + 1],
-            motion_img_size,
-        )
-        if target_features is not None:
-            ft = jax.lax.stop_gradient(
+    from vsnca_tpu.models.msoe import motion_pair_from_rgb, msoe_forward
+
+    n_pairs = len(generated_frames) - 1
+
+    # All generated pairs ride ONE MSOE forward (pairs stacked on the batch
+    # axis): per-item math is unchanged (contrast_norm and every conv are
+    # batch-parallel), but the convs run at n_pairs x the batch — better MXU
+    # utilization and one dispatch chain instead of n_pairs, for both the
+    # forward and the BPTT backward. Per-pair metric keys/subsample draws
+    # below keep the exact per-pair key sequence of the unbatched loop.
+    gen_pairs = jnp.concatenate(
+        [
+            motion_pair_from_rgb(
+                generated_frames[i], generated_frames[i + 1], motion_img_size
+            )
+            for i in range(n_pairs)
+        ],
+        axis=0,
+    )
+    bsz = generated_frames[0].shape[0]
+    flow_all, feats_all = msoe_forward(msoe_params, gen_pairs, return_features=True)
+    fg_list = [feats_all[0][i * bsz : (i + 1) * bsz] for i in range(n_pairs)]
+    flow_g = flow_all[(n_pairs - 1) * bsz :]
+
+    flow_t = None
+    if target_features is not None:
+        ft_list = [
+            jax.lax.stop_gradient(
                 jnp.broadcast_to(
                     target_features[idx],
-                    (fg.shape[0],) + tuple(target_features[idx].shape[-3:]),
+                    (bsz,) + tuple(target_features[idx].shape[-3:]),
                 )
             )
-            flow_t = None
-        else:
-            ft, flow_t = motion_feature(
-                msoe_params, target_frames[idx], target_frames[idx + 1],
-                motion_img_size,
-            )
-            ft = jax.lax.stop_gradient(ft)
-            flow_t = jax.lax.stop_gradient(flow_t)
+            for idx in range(n_pairs)
+        ]
+    else:
+        # Target pairs are constants (no gradient path), so their MSOE runs
+        # as a separate stacked stop-gradient call: XLA never builds a
+        # backward for it.
+        tgt_pairs = jnp.concatenate(
+            [
+                motion_pair_from_rgb(
+                    target_frames[i], target_frames[i + 1], motion_img_size
+                )
+                for i in range(n_pairs)
+            ],
+            axis=0,
+        )
+        tb = target_frames[0].shape[0]
+        tflow_all, tfeats_all = msoe_forward(
+            msoe_params, tgt_pairs, return_features=True
+        )
+        ft_list = [
+            jax.lax.stop_gradient(tfeats_all[0][i * tb : (i + 1) * tb])
+            for i in range(n_pairs)
+        ]
+        flow_t = jax.lax.stop_gradient(tflow_all[(n_pairs - 1) * tb :])
+
+    loss = 0.0
+    for idx in range(n_pairs):
+        fg, ft = fg_list[idx], ft_list[idx]
 
         if loss_type == "MotionGram":
             loss = loss + jnp.mean((_motion_gram(ft) - _motion_gram(fg)) ** 2)
