@@ -179,11 +179,22 @@ def bench_training():
     out["train_iters_per_sec_static_texture_fused"] = _bench_fused_subprocess()
 
     try:
-        vm = benchmark_train_step("video_motion", iters=3,
+        # Primary: the reference-faithful iteration shape (step_n=128 total
+        # steps, frames tapped after steps 1 and 65 + frameless tail —
+        # fit_video_motion.py:229-235). The r2shape key keeps the heavier
+        # 3x64-chunk workload BENCH_r01/r02 measured, for cross-round
+        # comparability (docs/ROUND3.md).
+        vm = benchmark_train_step("video_motion", iters=4,
                                   precompute_targets=True)
         out["train_iters_per_sec_video_motion"] = vm["train_iters_per_sec"]
+        vm2 = benchmark_train_step("video_motion", iters=3,
+                                   precompute_targets=True,
+                                   reference_shape=False)
+        out["train_iters_per_sec_video_motion_r2shape"] = (
+            vm2["train_iters_per_sec"]
+        )
     except Exception as e:  # pragma: no cover - bench resilience
-        out["train_iters_per_sec_video_motion"] = None
+        out.setdefault("train_iters_per_sec_video_motion", None)
         out["video_motion_error"] = repr(e)
 
     try:

@@ -166,3 +166,114 @@ def test_trainer_style_consistency_wired_and_zero_grad():
         jax.tree_util.tree_leaves(runs[0.0]), jax.tree_util.tree_leaves(runs[5.0])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_tap_schedule_reference_rule():
+    """tap_schedule == the reference's middle_feature_list[::interval]
+    slicing (fit_video_motion.py:230-235): frames after steps 1, 1+k, ...
+    <= step_n, tail to step_n, total exactly step_n."""
+    from vsnca_tpu.models.dynca import tap_schedule
+
+    for step_n in (1, 2, 63, 64, 65, 80, 96, 128, 129, 143, 144):
+        chunks, tail = tap_schedule(step_n, 64)
+        # reference frame positions: entry k of the middle list is the RGB
+        # after step k+1; [::64] keeps entries 0, 64, 128, ...
+        want_frames = [k + 1 for k in range(step_n) if k % 64 == 0]
+        got_frames = list(np.cumsum(chunks))
+        assert got_frames == want_frames, (step_n, chunks)
+        assert sum(chunks) + tail == step_n
+        assert tail >= 0
+    # 2 frames for the default range's typical draw, 3 past 129
+    assert len(tap_schedule(112, 64)[0]) == 2
+    assert len(tap_schedule(140, 64)[0]) == 3
+
+
+def test_trainer_tap_schedule_matches_plain_rollout():
+    """With update_rate=1.0 (deterministic masks), the scheduled tapped
+    rollout must produce the same final state as one plain step_n-step
+    rollout, and its frames must equal the RGB after steps 1 and 1+k —
+    i.e. the trainer rolls step_n TOTAL steps (reference semantics), not
+    n_frames*tap_every."""
+    import optax
+
+    from vsnca_tpu.losses.orchestrator import LossState
+    from vsnca_tpu.models.dynca import dynca_init, dynca_rollout
+    from vsnca_tpu.train.trainer import make_train_step
+
+    cfg = NCAConfig(c_in=6, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    loss_state = LossState(cfg=LossConfig(overflow_weight=1.0))
+    opt = optax.sgd(0.0)  # keep params fixed; we inspect states
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    states = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 6)) - 0.5
+    key = jax.random.PRNGKey(2)
+
+    step_n, tap = 11, 4  # frames after steps 1, 5, 9; tail 2
+    from vsnca_tpu.models.dynca import tap_schedule
+
+    chunks, tail = tap_schedule(step_n, tap)
+    assert chunks == (1, 4, 4) and tail == 2
+
+    step = make_train_step(cfg, loss_state, opt, rollout_path="xla")
+    _, _, new_states, loss, _ = step(
+        params, opt_state, states, key, {},
+        step_n=step_n, tap_chunks=chunks, tail_steps=tail,
+    )
+
+    from vsnca_tpu.models.dynca import make_conditioning
+
+    cond = make_conditioning(cfg, (16, 16), batch=1)
+    ref_state, _ = dynca_rollout(
+        params, states, jax.random.PRNGKey(9), cfg, step_n, cond=cond,
+        remat="none",
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_states), np.asarray(ref_state), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_trainer_tap_schedule_fused_matches_xla():
+    """The mixed fused/XLA scheduled path == the all-XLA scheduled path
+    end-to-end through make_train_step at update_rate=1.0 (the 1-step
+    chunk always rides XLA; 4-step chunks + the tail ride the flat pair)."""
+    import optax
+
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vsnca_tpu.losses.orchestrator import LossState
+    from vsnca_tpu.models.dynca import dynca_init
+    from vsnca_tpu.train.trainer import make_train_step
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    loss_state = LossState(cfg=LossConfig(overflow_weight=1.0))
+    opt = optax.adam(1e-3)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    states = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 128, 8)) - 0.5
+    key = jax.random.PRNGKey(2)
+
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for rp in ("fused", "xla"):
+            step = make_train_step(cfg, loss_state, opt, rollout_path=rp)
+            p2, _, new_states, loss, _ = step(
+                params, opt_state, states, key, {},
+                step_n=11, tap_chunks=(1, 4, 4), tail_steps=2,
+            )
+            outs[rp] = (p2, new_states, float(loss))
+
+    assert outs["fused"][2] == pytest.approx(outs["xla"][2], rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["fused"][1]), np.asarray(outs["xla"][1]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs["fused"][0]),
+        jax.tree_util.tree_leaves(outs["xla"][0]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

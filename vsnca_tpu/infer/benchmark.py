@@ -228,11 +228,15 @@ def benchmark_train_step(
     img_size: Optional[int] = None,
     rollout_path: Optional[str] = None,
     precompute_targets: bool = False,
+    reference_shape: bool = True,
 ) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
     update) for a preset config. Presets with a video-motion term get a
-    synthetic target window and tapped rollout frames (n_motion_frames=3,
-    tap_every=step_n//2), matching the fit_video_motion workload shape.
+    synthetic target window and tapped rollout frames; with
+    ``reference_shape`` (default) the tap schedule matches the reference
+    exactly (step_n total steps, frames after steps 1, 65, ... —
+    fit_video_motion.py:229-235); ``reference_shape=False`` keeps the r2
+    bench shape (3 equal 64-step chunks = 192 steps/iter).
     ``rollout_path`` overrides TrainConfig.rollout_path (auto|xla|fused).
     ``precompute_targets`` hoists the constant target-side VGG/MSOE features
     out of the iteration (the production-path optimization the CLI and
@@ -264,10 +268,22 @@ def benchmark_train_step(
 
     kwargs = {"step_n": step_n}
     if loss_cfg.video_motion_weight:
-        n_motion_frames = 3
-        kwargs.update(
-            n_motion_frames=n_motion_frames, tap_every=max(step_n // 2, 1)
-        )
+        if reference_shape:
+            # Reference-faithful workload (fit_video_motion.py:229-235):
+            # step_n TOTAL steps, frames tapped after steps 1, 65, ... (2-3
+            # frames for the default [80,144) range) plus a frameless tail.
+            from vsnca_tpu.models.dynca import tap_schedule
+
+            chunks, tail = tap_schedule(step_n, 64)
+            n_motion_frames = len(chunks)
+            kwargs.update(tap_chunks=chunks, tail_steps=tail)
+        else:
+            # r2 bench shape (n_frames equal chunks = 192 steps at
+            # step_n=128) — kept for cross-round comparability.
+            n_motion_frames = 3
+            kwargs.update(
+                n_motion_frames=n_motion_frames, tap_every=max(step_n // 2, 1)
+            )
         inputs["target_motion_frames"] = jnp.stack(
             [style + 0.01 * k for k in range(n_motion_frames)]
         )
@@ -286,7 +302,9 @@ def benchmark_train_step(
                 precompute_target_motion_features,
             )
 
-            window = jnp.stack([style[0] + 0.01 * k for k in range(3)])
+            window = jnp.stack(
+                [style[0] + 0.01 * k for k in range(n_motion_frames)]
+            )
             inputs["target_motion_features"] = (
                 precompute_target_motion_features(
                     msoe, window, loss_cfg.motion_img_size

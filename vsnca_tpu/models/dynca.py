@@ -248,3 +248,57 @@ def dynca_rollout_with_taps(
 
     (x, _), frames = jax.lax.scan(segment, (x, key), None, length=n_segments)
     return x, frames
+
+
+def tap_schedule(step_n: int, tap_every: int = 64):
+    """Reference-faithful frame-tap schedule for a ``step_n``-step rollout.
+
+    ``fit_video_motion.py:230-235`` taps ``middle_feature_list[::interval]``
+    where entry k is the RGB AFTER step k+1 — frames land after steps
+    1, 1+interval, 1+2*interval, ... <= step_n, and the rollout continues to
+    ``step_n`` after the last tap. Returns ``(frame_chunks, tail_steps)``:
+    ``frame_chunks[i]`` steps are rolled then a frame is emitted, then
+    ``tail_steps`` more are rolled with no frame. For the default range
+    [80, 144) this is 2-3 frames over step_n total steps — NOT
+    ``n_frames * tap_every`` steps (the r2 trainer shape over-rolled).
+    """
+    assert step_n >= 1 and tap_every >= 1
+    frame_steps = list(range(1, step_n + 1, tap_every))
+    chunks = [frame_steps[0]] + [
+        frame_steps[i] - frame_steps[i - 1] for i in range(1, len(frame_steps))
+    ]
+    return tuple(chunks), step_n - frame_steps[-1]
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "frame_chunks", "tail_steps", "remat")
+)
+def dynca_rollout_schedule(
+    params: dict,
+    x: jnp.ndarray,
+    key: jax.Array,
+    cfg: NCAConfig,
+    frame_chunks,
+    tail_steps: int = 0,
+    cond: Optional[jnp.ndarray] = None,
+    remat: str = "per_step",
+):
+    """Rollout with an explicit tap schedule (see ``tap_schedule``): roll
+    ``frame_chunks[i]`` steps and emit an RGB frame after each chunk, then
+    roll ``tail_steps`` more (no frame). Returns (state, [frames]).
+
+    Mirrors the reference's ``return_middle_feature=True`` +
+    ``[::interval]`` slicing (fit_video_motion.py:230-235) without
+    materializing all ``step_n`` intermediate frames.
+    """
+
+    def step_fn(x, sub):
+        return dynca_step(params, x, sub, cfg, cond)
+
+    frames = []
+    for c in frame_chunks:
+        x, key = _scan_rollout(step_fn, x, key, int(c), remat)
+        frames.append(to_rgb(x, cfg.c_out))
+    if tail_steps:
+        x, key = _scan_rollout(step_fn, x, key, int(tail_steps), remat)
+    return x, frames

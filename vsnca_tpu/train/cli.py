@@ -247,13 +247,22 @@ def main():
             inputs["aux_imgs"] = aux
             inputs["aux_gs"] = jnp.mean(aux, axis=-1, keepdims=True)
 
-        n_motion_frames, tap_every = 0, 0
+        iter_kw = {}
         if loss_cfg.video_motion_weight:
-            # 3 tapped frames, one per 64 steps (fit_video_motion.py:235)
-            n_motion_frames, tap_every = 3, 64
-            start = rng.randint(0, max(target_video.shape[0] - 3, 1))
+            # Reference tap schedule (fit_video_motion.py:229-235): frames
+            # after steps 1, 65, ... of a step_n-step rollout + frameless
+            # tail; 2-3 frames for the default [80,144) step range.
+            from vsnca_tpu.models.dynca import tap_schedule
+
+            step_n = max(trainer.sample_step_n(), 65)  # >= 2 tapped frames
+            chunks, tail = tap_schedule(step_n, 64)
+            nf = len(chunks)
+            iter_kw = dict(step_n=step_n, tap_chunks=chunks, tail_steps=tail)
+            start = rng.randint(0, max(target_video.shape[0] - nf, 1))
             if motion_feats is not None:
-                inputs["target_motion_features"] = motion_feats[start : start + 2]
+                inputs["target_motion_features"] = motion_feats[
+                    start : start + nf - 1
+                ]
             else:
                 inputs["target_motion_frames"] = jnp.stack(
                     [
@@ -261,15 +270,12 @@ def main():
                             target_video[start + k],
                             (train_cfg.batch_size,) + target_video.shape[1:],
                         )
-                        for k in range(3)
+                        for k in range(nf)
                     ]
                 )
 
         sync = (i % args.log_every == 0) or (i == train_cfg.max_iterations - 1)
-        log = trainer.train_iteration(
-            inputs, n_motion_frames=n_motion_frames, tap_every=tap_every,
-            sync=sync,
-        )
+        log = trainer.train_iteration(inputs, sync=sync, **iter_kw)
 
         if sync and i % args.log_every == 0:
             rate = (i + 1) / (time.time() - t0)

@@ -72,7 +72,13 @@ def make_train_step(
     loss_fn = make_loss_fn(loss_state)
     cfg = loss_state.cfg
 
-    @partial(jax.jit, static_argnames=("step_n", "n_motion_frames", "tap_every"))
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "step_n", "n_motion_frames", "tap_every", "tap_chunks",
+            "tail_steps",
+        ),
+    )
     def train_step(
         params,
         opt_state,
@@ -83,6 +89,8 @@ def make_train_step(
         step_n: int,
         n_motion_frames: int = 0,
         tap_every: int = 0,
+        tap_chunks=(),
+        tail_steps: int = 0,
     ):
         b = states.shape[0]
         hw = states.shape[1:3]
@@ -119,57 +127,103 @@ def make_train_step(
         # need_dcond=False: the trainer's conditioning is a
         # positional-encoding constant or a stop-gradient'd edge
         # map (make_conditioning) — no cond cotangent needed.
-        # Tapped (video-motion) rollouts run as n_motion_frames CHUNKS of
-        # tap_every fused steps each (total = n_frames*tap_every, exactly
-        # dynca_rollout_with_taps' two-level scan; reference
-        # fit_video_motion.py:230-235), so flat support is evaluated at the
-        # per-chunk length.
-        chunk_n = tap_every if n_motion_frames > 0 else step_n
-        use_flat = want_fused and chunk_n > 0 and fused_train_flat_supported(
-            nca_cfg, hw[0], hw[1], chunk_n, need_dcond=False
-        )
-        use_fused = use_flat or (
-            want_fused
-            and n_motion_frames == 0
-            and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
-        )
-        if rollout_path == "fused":
-            assert use_fused, (
-                "rollout_path='fused' but no fused training kernel "
-                "supports this config/shape"
+        # Tapped (video-motion) rollouts run as CHUNKS of fused steps, one
+        # frame emitted per chunk (reference fit_video_motion.py:230-235).
+        # ``tap_chunks``/``tail_steps`` (see models.dynca.tap_schedule) give
+        # the reference-faithful schedule — frames after steps
+        # 1, 1+64, ... plus a frameless tail to step_n; the legacy
+        # (n_motion_frames, tap_every) form maps to equal chunks, no tail.
+        if tap_chunks:
+            schedule = tuple(int(c) for c in tap_chunks)
+            sched_tail = int(tail_steps)
+        elif n_motion_frames > 0:
+            schedule = (tap_every,) * n_motion_frames
+            sched_tail = 0
+        else:
+            schedule = None
+            sched_tail = 0
+        n_frames = len(schedule) if schedule else 0
+
+        def flat_ok(c):
+            return c > 0 and fused_train_flat_supported(
+                nca_cfg, hw[0], hw[1], c, need_dcond=False
             )
+
+        if schedule is not None:
+            # Per-chunk path choice: fused where the flat plan supports the
+            # chunk length, XLA scan otherwise (1-step chunks stay on XLA —
+            # a whole Mosaic pair compile for one step buys nothing).
+            chunk_fused = {
+                c: want_fused and c > 1 and flat_ok(c)
+                for c in set(schedule) | {sched_tail}
+            }
+            use_flat = any(chunk_fused[c] for c in schedule)
+            use_fused = use_flat
+            if rollout_path == "fused":
+                assert all(
+                    chunk_fused[c] for c in schedule + (sched_tail,)
+                    if c > 1
+                ), (
+                    "rollout_path='fused' but the flat training kernel "
+                    "does not support every tap-schedule chunk length"
+                )
+        else:
+            use_flat = want_fused and flat_ok(step_n)
+            use_fused = use_flat or (
+                want_fused
+                and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
+            )
+            if rollout_path == "fused":
+                assert use_fused, (
+                    "rollout_path='fused' but no fused training kernel "
+                    "supports this config/shape"
+                )
 
         def objective(p):
             input_dict = {}
-            if n_motion_frames > 0:
-                if use_flat:
+            if schedule is not None:
+                if use_flat or tap_chunks:
+                    # Chunked schedule: one rollout call per chunk (fused
+                    # kernel pair where the plan supports the length, XLA
+                    # scan otherwise), frame emitted per chunk, then the
+                    # frameless tail (fit_video_motion.py:230-235).
                     x_cur = states
-                    frames_l = []
-                    for i, k_i in enumerate(
-                        jax.random.split(k_roll, n_motion_frames)
-                    ):
-                        seed_f = jax.random.randint(
-                            k_i, (), 0, 1 << 30
-                        ).astype(jnp.float32)
-                        x_cur, rgb_i = fused_rollout_train_flat(
-                            p, x_cur, seed_f, nca_cfg, tap_every,
-                            cond_nhwc=cond, cond_no_grad=True,
+                    frames = []
+                    ks = jax.random.split(k_roll, n_frames + 1)
+                    def run_chunk(p, x, k_i, c):
+                        if chunk_fused[c]:
+                            seed_f = jax.random.randint(
+                                k_i, (), 0, 1 << 30
+                            ).astype(jnp.float32)
+                            return fused_rollout_train_flat(
+                                p, x, seed_f, nca_cfg, c,
+                                cond_nhwc=cond, cond_no_grad=True,
+                            )
+                        return dynca_rollout(
+                            p, x, k_i, nca_cfg, c, cond=cond, remat=remat
                         )
-                        frames_l.append(rgb_i)
-                    state_after, frames = x_cur, frames_l
+
+                    for i, c in enumerate(schedule):
+                        x_cur, rgb_i = run_chunk(p, x_cur, ks[i], c)
+                        frames.append(rgb_i)
+                    if sched_tail:
+                        x_cur, _ = run_chunk(
+                            p, x_cur, ks[n_frames], sched_tail
+                        )
+                    state_after = x_cur
                 else:
                     state_after, frames = dynca_rollout_with_taps(
-                        p, states, k_roll, nca_cfg, n_motion_frames,
+                        p, states, k_roll, nca_cfg, n_frames,
                         tap_every, cond=cond, remat=remat,
                     )
                 rgb_after = frames[-1]
                 input_dict["generated_image_list_motion"] = [
-                    frames[i] for i in range(n_motion_frames)
+                    frames[i] for i in range(n_frames)
                 ]
                 if "target_motion_frames" in inputs:
                     input_dict["target_motion_image_list"] = [
                         inputs["target_motion_frames"][i]
-                        for i in range(n_motion_frames)
+                        for i in range(n_frames)
                     ]
             else:
                 if use_fused:
@@ -196,7 +250,7 @@ def make_train_step(
                     )
 
             input_dict["nca_state"] = state_after
-            if n_motion_frames > 0:
+            if n_frames > 0:
                 # appearance supervises EVERY tapped frame against the style
                 # frame (fit_video_motion.py:243-256 builds target_image_list
                 # with one style-frame entry per generated frame)
@@ -220,10 +274,10 @@ def make_train_step(
                 input_dict["target_style_features"] = inputs[
                     "target_style_features"
                 ]
-            if n_motion_frames > 0 and "target_motion_features" in inputs:
+            if n_frames > 0 and "target_motion_features" in inputs:
                 input_dict["target_motion_feature_list"] = [
                     inputs["target_motion_features"][i]
-                    for i in range(n_motion_frames - 1)
+                    for i in range(n_frames - 1)
                 ]
             if cfg.style_consistency_weight != 0:
                 # Live params for the fresh-seed grow; the term is
@@ -265,7 +319,10 @@ def make_pooled_train_step(train_step, batch_sharding=None):
 
     @partial(
         jax.jit,
-        static_argnames=("step_n", "n_motion_frames", "tap_every", "inject"),
+        static_argnames=(
+            "step_n", "n_motion_frames", "tap_every", "tap_chunks",
+            "tail_steps", "inject",
+        ),
         donate_argnums=(0, 1, 2),
     )
     def pooled_step(
@@ -280,6 +337,8 @@ def make_pooled_train_step(train_step, batch_sharding=None):
         step_n: int,
         n_motion_frames: int = 0,
         tap_every: int = 0,
+        tap_chunks=(),
+        tail_steps: int = 0,
         inject: bool = False,
     ):
         states = pool_states[idx]
@@ -289,7 +348,9 @@ def make_pooled_train_step(train_step, batch_sharding=None):
             states = jax.lax.with_sharding_constraint(states, batch_sharding)
         params, opt_state, new_states, loss, logs = train_step(
             params, opt_state, states, key, inputs,
-            step_n=step_n, n_motion_frames=n_motion_frames, tap_every=tap_every,
+            step_n=step_n, n_motion_frames=n_motion_frames,
+            tap_every=tap_every, tap_chunks=tap_chunks,
+            tail_steps=tail_steps,
         )
         pool_states = pool_states.at[idx].set(new_states)
         if batch_sharding is not None:
@@ -457,9 +518,16 @@ class DyNCATrainer:
         step_n: Optional[int] = None,
         n_motion_frames: int = 0,
         tap_every: int = 0,
+        tap_chunks=(),
+        tail_steps: int = 0,
         sync: bool = True,
     ) -> TrainLog:
         """One training iteration as a single device dispatch.
+
+        ``tap_chunks``/``tail_steps`` (see models.dynca.tap_schedule) run
+        the reference-faithful tapped rollout: one frame per chunk plus a
+        frameless tail, step_n total steps. The legacy
+        (n_motion_frames, tap_every) form rolls n*tap equal chunks.
 
         ``sync=False`` skips the host round-trip for the loss value (the
         NaN guard then fires on the next synced iteration) — use for all
@@ -496,6 +564,8 @@ class DyNCATrainer:
             step_n=step_n,
             n_motion_frames=n_motion_frames,
             tap_every=tap_every,
+            tap_chunks=tuple(tap_chunks),
+            tail_steps=tail_steps,
             inject=inject,
         )
 

@@ -42,6 +42,12 @@ class VideoMotionProtocol:
     warmup_iters: int = 1000
     n_motion_frames: int = 3
     tap_every: int = 64
+    # Reference-faithful tap schedule (fit_video_motion.py:230-235): frames
+    # after steps 1, 1+tap_every, ... <= step_n plus a frameless tail —
+    # step_n total steps per iteration, 2-3 frames for the default [80,144)
+    # range. False reverts to the r2 shape (n_motion_frames equal chunks =
+    # n*tap_every steps, which over-rolls vs the reference).
+    reference_tap_schedule: bool = True
     anomaly_appearance_threshold: float = 50.0
     img_name: Optional[str] = None
     # Precompute target-side features once per video/style (they are
@@ -62,16 +68,19 @@ class VideoMotionProtocol:
             vgg_params=vgg, msoe_params=msoe,
         )
 
-    def _window_inputs(self, batch: int) -> Dict[str, jnp.ndarray]:
+    def _window_inputs(
+        self, batch: int, n_frames: int = 0
+    ) -> Dict[str, jnp.ndarray]:
+        n_frames = n_frames or self.n_motion_frames
         t = int(self.target_video.shape[0])
-        self._start_idx = get_start_frame_idx(self._rng, t, self.n_motion_frames)
+        self._start_idx = get_start_frame_idx(self._rng, t, n_frames)
         inputs = {"target_style": self.appearance_frame}
         if self._style_feats is not None:
             inputs["target_style_features"] = self._style_feats
         if self._motion_feats is not None:
             s = self._start_idx
             inputs["target_motion_features"] = self._motion_feats[
-                s : s + self.n_motion_frames - 1
+                s : s + n_frames - 1
             ]
         else:
             inputs["target_motion_frames"] = jnp.stack(
@@ -80,10 +89,36 @@ class VideoMotionProtocol:
                         self.target_video[self._start_idx + k],
                         (batch,) + self.target_video.shape[1:],
                     )
-                    for k in range(self.n_motion_frames)
+                    for k in range(n_frames)
                 ]
             )
         return inputs
+
+    def _iteration_kwargs(self, trainer: DyNCATrainer):
+        """(inputs, train_iteration kwargs) for one iteration — the
+        reference schedule derives frames-per-iteration from the sampled
+        (bucketed) step_n; the legacy shape fixes n_motion_frames chunks."""
+        if not self.reference_tap_schedule:
+            inputs = self._window_inputs(self.train_cfg.batch_size)
+            return inputs, dict(
+                n_motion_frames=self.n_motion_frames,
+                tap_every=self.tap_every,
+            )
+        from vsnca_tpu.models.dynca import tap_schedule
+
+        step_n = trainer.sample_step_n()
+        # The motion loss needs >= 2 tapped frames; the reference's step
+        # range [80, 144) with interval 64 guarantees this — enforce it for
+        # arbitrary (test-sized) configs by bumping step_n past the first
+        # tap interval.
+        step_n = max(step_n, self.tap_every + 1)
+        chunks, tail = tap_schedule(step_n, self.tap_every)
+        inputs = self._window_inputs(
+            self.train_cfg.batch_size, n_frames=len(chunks)
+        )
+        return inputs, dict(
+            step_n=step_n, tap_chunks=chunks, tail_steps=tail
+        )
 
     def run(self, vgg_params, msoe_params, log_every: int = 50, callback=None):
         """Full protocol; returns the final trainer."""
@@ -112,12 +147,8 @@ class VideoMotionProtocol:
 
         # ---- warmup ----
         for i in range(self.warmup_iters):
-            inputs = self._window_inputs(self.train_cfg.batch_size)
-            log = trainer.train_iteration(
-                inputs,
-                n_motion_frames=self.n_motion_frames,
-                tap_every=self.tap_every,
-            )
+            inputs, kw = self._iteration_kwargs(trainer)
+            log = trainer.train_iteration(inputs, **kw)
             if "video_motion" in log.logs and self.loss_cfg.video_motion_weight:
                 self._motion_losses.append(
                     log.logs["video_motion"] / self.loss_cfg.video_motion_weight
@@ -146,12 +177,8 @@ class VideoMotionProtocol:
         # ---- main phase ----
         remaining = self.train_cfg.max_iterations - self.warmup_iters
         for i in range(max(remaining, 0)):
-            inputs = self._window_inputs(self.train_cfg.batch_size)
-            log = trainer.train_iteration(
-                inputs,
-                n_motion_frames=self.n_motion_frames,
-                tap_every=self.tap_every,
-            )
+            inputs, kw = self._iteration_kwargs(trainer)
+            log = trainer.train_iteration(inputs, **kw)
             self._maybe_anomaly_reseed(trainer, log)
             if callback and i % log_every == 0:
                 callback("main", i, log)
