@@ -14,7 +14,10 @@ CLAUDE.md on axon block_until_ready):
 Not part of the library — a dev tool.
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
@@ -143,50 +146,57 @@ def main():
     loss_state = LossState(cfg=loss_cfg, vgg_params=vgg, msoe_params=msoe)
     loss_fn = make_loss_fn(loss_state)
 
-    def build_inputs(fr):
+    # NOTE: the precomputed features MUST be jit ARGUMENTS — closure
+    # capture inlines them as program constants and the axon remote
+    # compiler rejects the >100 MB request body (HTTP 413).
+    def build_inputs(fr, sf, mf):
         return {
             "nca_state": x,
             "generated_image_list": fr,
             "generated_image_list_motion": fr,
             "target_image_list": [style] * n_frames,
-            "target_style_features": tgt_style_feats,
+            "target_style_features": sf,
             "target_motion_feature_list": [
-                tgt_motion_feats[i] for i in range(n_frames - 1)
+                mf[i] for i in range(n_frames - 1)
             ],
             "step_n": jnp.asarray(128.0),
         }
 
-    lf = jax.jit(lambda fr, k: loss_fn(build_inputs(fr), k)[0])
-    t = timeit(lambda: lf(frames, key))
+    lf = jax.jit(
+        lambda fr, sf, mf, k: loss_fn(build_inputs(fr, sf, mf), k)[0]
+    )
+    t = timeit(lambda: lf(frames, tgt_style_feats, tgt_motion_feats, key))
     print(f"loss fwd (precomputed tgts): {1000*t:.2f} ms", flush=True)
 
-    lg = jax.jit(lambda fr, k: jax.grad(
-        lambda fr: loss_fn(build_inputs(fr), k)[0]
+    lg = jax.jit(lambda fr, sf, mf, k: jax.grad(
+        lambda fr: loss_fn(build_inputs(fr, sf, mf), k)[0]
     )(fr))
-    t = timeit(lambda: fetch(lg(frames, key)))
+    t = timeit(
+        lambda: lg(frames, tgt_style_feats, tgt_motion_feats, key)
+    )
     print(f"loss fwd+bwd(frames): {1000*t:.2f} ms", flush=True)
 
     # ---- 4. per-term fwd+bwd ----
     from vsnca_tpu.losses.appearance import appearance_loss
     from vsnca_tpu.losses.video_motion import video_motion_loss
 
-    apg = jax.jit(lambda fr, k: jax.grad(
+    apg = jax.jit(lambda fr, sf, k: jax.grad(
         lambda fr: appearance_loss(
             vgg, jnp.concatenate(fr, axis=0), style, "OT", k, 1000, 32,
-            target_features=tgt_style_feats,
+            target_features=sf,
         )
     )(fr))
-    t = timeit(lambda: apg(frames, key))
+    t = timeit(lambda: apg(frames, tgt_style_feats, key))
     print(f"appearance OT stacked x{n_frames} fwd+bwd: {1000*t:.2f} ms",
           flush=True)
 
-    vmg = jax.jit(lambda fr, k: jax.grad(
+    vmg = jax.jit(lambda fr, mf, k: jax.grad(
         lambda fr: video_motion_loss(
             msoe, fr, None, "MotionOT", k, mis, 1000, 32,
-            target_features=[tgt_motion_feats[i] for i in range(n_frames - 1)],
+            target_features=[mf[i] for i in range(n_frames - 1)],
         )[0]
     )(fr))
-    t = timeit(lambda: vmg(frames, key))
+    t = timeit(lambda: vmg(frames, tgt_motion_feats, key))
     print(f"video motion OT fwd+bwd (precomp tgt): {1000*t:.2f} ms",
           flush=True)
 
@@ -212,14 +222,14 @@ def main():
         lambda a: a, tgt_style_feats
     )
 
-    apg16 = jax.jit(lambda fr, k: jax.grad(
+    apg16 = jax.jit(lambda fr, sf, k: jax.grad(
         lambda fr: appearance_loss(
             vgg16, jnp.concatenate(fr, axis=0).astype(jnp.bfloat16),
-            style, "OT", k, 1000, 32, target_features=tgt_style_feats16,
+            style, "OT", k, 1000, 32, target_features=sf,
         )
     )(fr))
     try:
-        t = timeit(lambda: apg16(frames, key))
+        t = timeit(lambda: apg16(frames, tgt_style_feats16, key))
         print(f"appearance OT bf16-vgg fwd+bwd: {1000*t:.2f} ms", flush=True)
     except Exception as e:
         print("bf16 appearance probe failed:", repr(e)[:160], flush=True)
