@@ -1195,6 +1195,7 @@ def _ms_masks_base(n: int, w: int, h: int, hb: int = _MS_HALO):
     col = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % w
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) // w
     scol = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
+    f1i = jax.lax.broadcasted_iota(jnp.int32, (1, n + 4 * w), 1)
     return {
         "col0": col == 0,
         "colw1": col == w - 1,
@@ -1205,6 +1206,11 @@ def _ms_masks_base(n: int, w: int, h: int, hb: int = _MS_HALO):
         "rowi_mod_h": rowi % h,
         "sub_col0": scol == 0,
         "sub_colw1": scol == w - 1,
+        # support window of the view-based ms adjoint's U^T frame
+        # (pallas_train._flat_percept_ms_adj): lanes past n+3w of the
+        # [4w, n+8w) frame are support-free and re-zeroed after the U_W^T
+        # lane rolls wrap leading lanes into them.
+        "f1_supp": f1i < n + 3 * w,
     }
 
 

@@ -187,95 +187,170 @@ def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
     (cotangent of the 4 stencil blocks at tile-interior positions) produce
     the band [cp, n + 8w] of contributions to x at global rows
     [t0-4, t0+tile_rows+4). ``msk`` is the SAME _ms_masks(n, w, t0, h)
-    bundle the percept uses: the working band is [*, n + 2*_MS_HALO*w] and
-    every prefix of the shift chains stays inside it (max cumulative
-    displacement exactly 5w on both sides — verified op-by-op), so nothing
-    circular-wraps.
+    bundle the percept uses.
 
     Mechanical transpose of the forward chain (down -> half-res stencils ->
-    up, plus the scale-0 stencils, averaged 0.5): sh(x,k) -> sh(g,-k);
-    y = where(m, A x, B x) -> A^T(m*g) + B^T((1-m)*g), with every mask
-    evaluated at the forward op's OUTPUT frame (= this g frame). The
-    stencil transposes are factored into 3 dj-class lane rolls + one
-    ALIGNED row roll per di (shifts that are multiples of w), which keeps
-    the op count (and Mosaic's per-op stack allocations) low."""
+    up, plus the scale-0 stencils, averaged 0.5), in the VIEW-BASED form
+    that made the forward percept fast (docs/ROUND3.md): every
+    row-multiple shift is a framed VIEW of a zero-embedded buffer and only
+    the 8 irreducible +-1/+-2 LANE shifts are pltpu.roll calls (~58 in the
+    r3a roll-chain form, git history). Frames are (offset, length) windows
+    of the band frame [0, nb); all offsets are multiples of w (lane-tile
+    aligned for w % 128 == 0). Circular-roll wrap garbage either reads the
+    6w-wide zero pads (exact) or lands in the one support-free tail that
+    ``f1_supp`` re-zeroes; every downstream view was checked against frame
+    edges (trace-time asserts). Masks are always viewed at the ABSOLUTE
+    window of the array they gate, which preserves the transpose's
+    mask-at-source semantics. Blocks ride ONE [4cp, *] chain through U^T
+    (the per-block form re-ran it 4x)."""
     hb = _MS_HALO
     nb = n + 2 * hb * w
-    zpad = jnp.zeros((cp, hb * w), jnp.float32)
+    f32 = jnp.float32
 
-    def sh(x, k):
-        """out[p] = x[p + k] (circular flat lane shift)."""
-        return pltpu.roll(x, (nb - k) % nb, axis=1)
+    def rl(x, k):
+        """out[p] = x[p + k] on x's own frame (lane |k| <= 2; the wrapped
+        edge lanes are handled per the frame analysis above)."""
+        L = x.shape[-1]
+        return pltpu.roll(x, (L - k) % L, axis=1)
+
+    def fv(x, x_off, off, L):
+        """View of frame-(x_off) array x at band window [off, off+L)."""
+        s = off - x_off
+        assert 0 <= s and s + L <= x.shape[-1], (s, L, x.shape)
+        return x[:, s : s + L]
+
+    def mv(name, off, L):
+        return fv(msk[name], 0, off, L)
 
     def mw(m, x):
         return jnp.where(m, x, 0.0)
 
-    def ut(g):
-        """U^T of one [cp, nb] block: U_H^T then U_W^T."""
-        ge = mw(msk["even_row"], g)
-        go = g - ge
-        guw = (
-            0.75 * ge
-            + 0.25 * mw(msk["grow0"], ge)
-            + sh(0.25 * mw(~msk["grow0"], ge), 2 * w)
-            + sh(0.75 * go + 0.25 * mw(msk["growlast"], go), w)
-            + sh(0.25 * mw(~msk["growlast"], go), -w)
-        )
-        gec = mw(msk["even_col"], guw)
-        goc = guw - gec
-        return (
-            0.75 * gec
-            + 0.25 * mw(msk["col0"], gec)
-            + sh(0.25 * mw(~msk["col0"], gec), 2)
-            + sh(0.75 * goc + 0.25 * mw(msk["colw1"], goc), 1)
-            + sh(0.25 * mw(~msk["colw1"], goc), -1)
-        )
+    def zeros(rows, k):
+        return jnp.zeros((rows, k * w), f32)
 
-    # Block-wise ([cp, nb] chains, one gp block at a time).
-    lt2, gew2 = msk["col_lt2"], msk["col_gew2"]
-    gd = None    # scale-1 accumulator at the half-res (anchor) frame
-    gx0 = None   # scale-0 accumulator
-    for bi, K in ((0, None), (1, SOBEL_X), (2, SOBEL_Y), (3, LAPLACIAN)):
-        gb = jnp.concatenate(
-            [zpad, gp[bi * cp : (bi + 1) * cp].astype(jnp.float32), zpad],
-            axis=1,
-        )  # [cp, nb] embedded block
-        # ---- scale-1: E^T -> U_H^T -> U_W^T (-> S^T into gd) ----
-        gs1 = ut(gb)
-        if K is None:  # raw block bypasses the stencil
-            gd = gs1 if gd is None else gd + gs1
-            gx0 = gb if gx0 is None else gx0 + gb
-            continue
-        # S^T, half-res: fwd tap k = 2(di-1)w + 2(dj-1) with W-wrap corr
-        # +-w at cols {0,1}/{w-2,w-1}; transpose shift -k factored into a
-        # dj-class lane roll (m0/m1/m2) + an aligned row roll per di.
-        m0 = sh(mw(lt2, gs1), 2 - w) + sh(mw(~lt2, gs1), 2)
-        m2 = sh(mw(gew2, gs1), w - 2) + sh(mw(~gew2, gs1), -2)
+    # gp zero-embedded on the full band frame (0, nb), all 4 blocks.
+    gpad = jnp.concatenate(
+        [zeros(4 * cp, hb), gp.astype(f32), zeros(4 * cp, hb)], axis=1
+    )
+
+    # ---- U_H^T (row part; pure views) ---------------------------------
+    # guw[a] = 0.75 ge[a] + 0.25[grow0 a] ge[a] + 0.25[~grow0 a+2w] ge[a+2w]
+    #        + (0.75 + 0.25[growlast a+w]) go[a+w] + 0.25[~growlast a-w] go[a-w]
+    F1o, F1L = 4 * w, n + 4 * w          # guw/gs frame
+    geo, geL = 4 * w, n + 6 * w          # ge window [4w, n+10w)
+    goo, goL = 3 * w, n + 6 * w          # go window [3w, n+9w)
+    g_ge = fv(gpad, 0, geo, geL)
+    ge = mw(mv("even_row", geo, geL), g_ge)
+    g_go = fv(gpad, 0, goo, goL)
+    go = g_go - mw(mv("even_row", goo, goL), g_go)
+    t1 = 0.75 * ge + 0.25 * mw(mv("grow0", geo, geL), ge)
+    t2 = 0.25 * mw(~mv("grow0", geo, geL), ge)
+    t3 = 0.75 * go + 0.25 * mw(mv("growlast", goo, goL), go)
+    t4 = 0.25 * mw(~mv("growlast", goo, goL), go)
+    guw = (
+        fv(t1, geo, F1o, F1L)
+        + fv(t2, geo, F1o + 2 * w, F1L)
+        + fv(t3, goo, F1o + w, F1L)
+        + fv(t4, goo, F1o - w, F1L)
+    )
+
+    # ---- U_W^T (lane part; 3 rolls on the wide [4cp, n+4w] chain) ------
+    gec = mw(mv("even_col", F1o, F1L), guw)
+    goc = guw - gec
+    gs = (
+        0.75 * gec
+        + 0.25 * mw(mv("col0", F1o, F1L), gec)
+        + rl(0.25 * mw(~mv("col0", F1o, F1L), gec), 2)
+        + rl(0.75 * goc + 0.25 * mw(mv("colw1", F1o, F1L), goc), 1)
+        + rl(0.25 * mw(~mv("colw1", F1o, F1L), goc), -1)
+    )
+    # The +1/+2 rolls wrap gs's leading lanes into the support-free tail
+    # [n+7w, n+8w) — re-zero it (exact: guw's support ends at n+7w).
+    gs = mw(mv("f1_supp", 0, F1L), gs)
+
+    # Widen for the class/stencil/raw views below (pads are exact zeros:
+    # gs's support lives in [4w, n+7w)). Frame (-w, n+13w) is the minimal
+    # cover of every class/stencil view (bounds asserted below); at
+    # tile_rows=8 the tighter frame is what keeps the tile body under the
+    # 16 MB scoped-vmem limit.
+    gsw = jnp.concatenate(
+        [zeros(4 * cp, 5), gs, zeros(4 * cp, 4)], axis=1
+    )  # frame (-w, n+13w)
+    gswo = -w
+
+    # ---- S^T as a forward-style stencil: flipped kernel over classes ---
+    # gd[x] = raw[x] + sum_{di,dj} Kf[di][dj] * cl_dj[x + 2(di-1)w], with
+    # cl_0/cl_2 the -2/+2 lane classes under the half-res W-wrap (the
+    # transpose of the forward's m0/m2 tap classes).
+    gst = gsw[cp:]  # stencil blocks [3cp, n+16w], frame gswo
+    r2m = rl(gst, -2)   # r2m[p] = gst[p-2]
+    r2p = rl(gst, 2)    # r2p[p] = gst[p+2]
+    Fco, FcL = 0, n + 11 * w
+    c0 = jnp.where(
+        mv("col_lt2", Fco, FcL),
+        fv(r2m, gswo, Fco + w, FcL),
+        fv(r2m, gswo, Fco, FcL),
+    )
+    c2 = jnp.where(
+        mv("col_gew2", Fco, FcL),
+        fv(r2p, gswo, Fco - w, FcL),
+        fv(r2p, gswo, Fco, FcL),
+    )
+    c1 = fv(gst, gswo, Fco, FcL)
+
+    Fgo, FgL = 2 * w, n + 7 * w  # gd frame (support-exact: [2w, n+9w))
+    gd = fv(gsw[:cp], gswo, Fgo, FgL)  # raw block
+    for bi, K in ((0, SOBEL_X_F), (1, SOBEL_Y_F), (2, LAPLACIAN_F)):
         for di in range(3):
-            s_di = None
-            for dj, m in ((0, m0), (1, gs1), (2, m2)):
+            for dj, cl in ((0, c0), (1, c1), (2, c2)):
                 co = K[di][dj]
                 if co:
-                    v = float(co) * m
-                    s_di = v if s_di is None else s_di + v
-            if s_di is not None:
-                gd = gd + sh(s_di, -2 * (di - 1) * w)
-        # ---- scale-0 transpose, same factoring at full-res offsets ----
-        q0 = sh(mw(msk["col0"], gb), 1 - w) + sh(mw(~msk["col0"], gb), 1)
-        q2 = sh(mw(msk["colw1"], gb), w - 1) + sh(mw(~msk["colw1"], gb), -1)
-        for di in range(3):
-            s_di = None
-            for dj, q in ((0, q0), (1, gb), (2, q2)):
-                co = K[di][dj]
-                if co:
-                    v = float(co) * q
-                    s_di = v if s_di is None else s_di + v
-            if s_di is not None:
-                gx0 = gx0 + sh(s_di, -(di - 1) * w)
+                    gd = gd + float(co) * fv(
+                        cl[bi * cp : (bi + 1) * cp], Fco,
+                        Fgo + 2 * (di - 1) * w, FgL,
+                    )
 
-    gx1 = 0.25 * (gd + sh(gd, -1) + sh(gd, -w) + sh(gd, -w - 1))  # D^T
-    adj = 0.5 * (gx0 + gx1)
-    return adj[:, (hb - 4) * w : (hb - 4) * w + n + 8 * w]
+    # ---- D^T ----------------------------------------------------------
+    gdw = jnp.concatenate([zeros(cp, 2), gd, zeros(cp, 1)], axis=1)
+    gdm1 = rl(gdw, -1)  # gdm1[p] = gd[p-1]
+    Ao, AL = 2 * w, n + 8 * w  # output band frame
+    gx1 = 0.25 * (
+        fv(gdw, 0, Ao, AL) + fv(gdm1, 0, Ao, AL)
+        + fv(gdw, 0, Ao - w, AL) + fv(gdm1, 0, Ao - w, AL)
+    )
+
+    # ---- scale-0 transpose (shared q-classes, flipped-row coefficients) -
+    # gx0[x] = raw[x] + sum_{di,dj} K[2-di][dj] * q_dj[x + (di-1)w];
+    # q0[p] = colw1(p) ? gb[p+1-w] : gb[p+1],
+    # q2[p] = col0(p)  ? gb[p-1+w] : gb[p-1]   (full-res W-wrap).
+    gbs = gpad[cp:]  # [3cp, nb]
+    r1p = rl(gbs, 1)    # r1p[p] = gbs[p+1]
+    r1m = rl(gbs, -1)   # r1m[p] = gbs[p-1]
+    Fqo, FqL = w, n + 10 * w
+    q0 = jnp.where(
+        mv("colw1", Fqo, FqL),
+        fv(r1p, 0, Fqo - w, FqL),
+        fv(r1p, 0, Fqo, FqL),
+    )
+    q2 = jnp.where(
+        mv("col0", Fqo, FqL),
+        fv(r1m, 0, Fqo + w, FqL),
+        fv(r1m, 0, Fqo, FqL),
+    )
+    q1 = fv(gbs, 0, Fqo, FqL)
+
+    gx0 = fv(gpad[:cp], 0, Ao, AL)  # raw block
+    for bi, K in ((0, SOBEL_X), (1, SOBEL_Y), (2, LAPLACIAN)):
+        for di in range(3):
+            for dj, q in ((0, q0), (1, q1), (2, q2)):
+                co = K[2 - di][dj]
+                if co:
+                    gx0 = gx0 + float(co) * fv(
+                        q[bi * cp : (bi + 1) * cp], Fqo,
+                        Ao + (di - 1) * w, AL,
+                    )
+
+    return 0.5 * (gx0 + gx1)
 
 
 def _make_fwd_kernel(
@@ -1245,14 +1320,15 @@ def _make_bwd_kernel_flat_tiled(
     ):
         if has_cond and need_dcond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             dcondt_ref, states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
+             dcondt_ref, gx_scr_ref, states_ref, adj_ref, cond_scr_ref,
+             dma_sem) = rest
         elif has_cond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
+             gx_scr_ref, states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
             dcondt_ref = None
         else:
             (dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             states_ref, adj_ref, dma_sem) = rest
+             gx_scr_ref, states_ref, adj_ref, dma_sem) = rest
             condt_ref = dcondt_ref = cond_scr_ref = None
 
         bidx = pl.program_id(0)
@@ -1263,15 +1339,18 @@ def _make_bwd_kernel_flat_tiled(
         db2_ref[:] = jnp.zeros_like(db2_ref)
         if dcondt_ref is not None:
             dcondt_ref[:] = jnp.zeros_like(dcondt_ref)
-        # dL/dx accumulates IN the tiled dx0 output block; gy is DMA'd in
-        # per tile (lane slices of the flat HBM layout retile for free).
+        # dL/dx accumulates in a VMEM SCRATCH and ships to the ANY-space
+        # dx0 output in one DMA at the end: a blocked VMEM output would be
+        # double-buffered by the grid pipeline (2 x 4.2 MB at 256^2), which
+        # is exactly the headroom the tr=8 ms tile body needs. gy is DMA'd
+        # in per tile (lane slices of the flat HBM layout retile for free).
         for t in range(n_tiles):
             gl = pltpu.make_async_copy(
-                g_ref.at[bidx, :, pl.ds(t * n, n)], dx0t_ref.at[0, t], dma_sem
+                g_ref.at[bidx, :, pl.ds(t * n, n)], gx_scr_ref.at[t], dma_sem
             )
             gl.start()
             gl.wait()
-        gxt_ref = dx0t_ref.at[0]  # [n_tiles, cp, n]
+        gxt_ref = gx_scr_ref  # [n_tiles, cp, n]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n + 2 * w), 1) % w
         is_col0 = col == 0
@@ -1307,6 +1386,13 @@ def _make_bwd_kernel_flat_tiled(
                 dma.wait()
                 cond_tile = cond_scr_ref[:]
             if ms:
+                # wide_up MUST match the forward kernel's choice (True):
+                # wide and narrow are expression-tree identical, but Mosaic
+                # fuses FMAs differently per layout on hardware, and a
+                # 1-ulp recompute drift flips relu gates in the backward
+                # (measured as a 1.8e-3 b1 grad error vs the scan under
+                # 'highest'-precision references; interpret mode cannot
+                # see it).
                 return _flat_percept_ms(
                     band_of_tiled(src_k, t, _MS_HALO), cond_tile, n, w,
                     compute_dtype, tile_masks(t) if msk is None else msk,
@@ -1470,6 +1556,12 @@ def _make_bwd_kernel_flat_tiled(
             return carry
 
         jax.lax.fori_loop(0, n_segments, per_segment, 0)
+
+        st = pltpu.make_async_copy(
+            gx_scr_ref, dx0t_ref.at[bidx], dma_sem
+        )
+        st.start()
+        st.wait()
 
     return kernel
 
@@ -1725,7 +1817,13 @@ def bwd_tiled_vmem_bytes_estimate(
         (4 * cp + ccp) * 2 + 3 * fc_dim + 8 * cp
     ) // 2
     if ms:
-        tile += 4 * (n + 12 * w) * cp * 17  # percept + transpose live ranges
+        # Recalibrated r3b: the view-based adjoint (fewer/narrower live
+        # ranges), the narrow per-block upsample in the recompute, and the
+        # gx-in-scratch fix (no double-buffered dx0 block) brought the
+        # measured 256^2 budget from 19.11 MB (tr=8, r3a) to a compiling
+        # tr=8 body; factor 7 reproduces that boundary (tr=8 passes at
+        # 13.8 MB, tr=16's forward measured 17.1 MB > limit).
+        tile += 4 * (n + 12 * w) * cp * 7  # percept + transpose live ranges
     return buf + tile
 
 
@@ -1789,6 +1887,10 @@ def plan_flat_train(
                 nt = tr * w
                 if h // tr < 2:
                     continue
+                if ms and tr > 8:
+                    continue  # ms: tr=8 (n=2048/tile) is the largest
+                    #           hardware-validated body; tr=16's FORWARD
+                    #           blew scoped vmem at 256^2 (17.1 MB)
                 if ms and (tr < 4 or tr % 2):
                     continue  # ms: 4-row adjoint reach must stay within
                     #           one neighbor tile (modular band READS may
@@ -2144,7 +2246,8 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
         jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
     ]
     out_specs = [
-        block((n_tiles, cp, n)), block((f, p)), block((1, f)),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # dx0 (DMA'd out)
+        block((f, p)), block((1, f)),
         block((cp, f)), block((1, cp)),
     ]
     if condf is not None and need_dcond:
@@ -2165,6 +2268,7 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
             out_specs=tuple(out_specs),
             scratch_shapes=(
                 [
+                    pltpu.VMEM((n_tiles, cp, n), jnp.float32),  # gx accum
                     pltpu.VMEM((segment, n_tiles, cp, n), jnp.float32),
                     pltpu.VMEM((cp, n + 3 * ew), jnp.float32),  # adj + park
                 ]
