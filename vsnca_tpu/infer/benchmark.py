@@ -315,10 +315,14 @@ def benchmark_train_step(
     # warmup/compile both jit variants (seed-inject on iteration 0, plain after)
     trainer.train_iteration(inputs, **kwargs)
     trainer.train_iteration(inputs, **kwargs)
-    t0 = time.perf_counter()
-    for k in range(iters):
-        trainer.train_iteration(inputs, sync=(k == iters - 1), **kwargs)
-    dt = (time.perf_counter() - t0) / iters
+    # min of 2 rounds: one-sided host/tunnel noise (docs/ROUND3.md)
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for k in range(iters):
+            trainer.train_iteration(inputs, sync=(k == iters - 1), **kwargs)
+        r = (time.perf_counter() - t0) / iters
+        dt = r if dt is None else min(dt, r)
     return {
         "preset": preset,
         "sec_per_train_iter": dt,
