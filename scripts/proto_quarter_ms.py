@@ -195,16 +195,61 @@ def quarter_percept(x, b0, bw1):
 
 
 # ------------------------------------------------------------ kernels
-def make_quarter_kernel(n_steps):
+def make_quarter_percept_only(n_steps):
+    """Percept-only loop: isolates the percept cost (no MLP; state evolves
+    by a small multiple of the folded percept so nothing is DCE'd)."""
     def kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, st_ref):
-        st_ref[:] = x_ref[:]
+        st_ref[0] = x_ref[:]
         b0 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1) % WW == 0
         bw1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1) % WW == WW - 1
 
         def step(i, c):
-            x = st_ref[:]
-            # percept regions are built from lane-slices of x; but the
-            # region concat at the end restores [4CP, HW]
+            x = st_ref[jnp.mod(i, 2)]
+            pct = quarter_percept(x, b0, bw1)
+            acc = (pct[:CP] + pct[CP : 2 * CP] + pct[2 * CP : 3 * CP]
+                   + pct[3 * CP :])
+            st_ref[jnp.mod(i + 1, 2)] = x + 1e-4 * acc
+            return c
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+        o_ref[:] = st_ref[jnp.mod(n_steps, 2)]
+
+    return kernel
+
+
+def make_anchor_percept_only(n_steps):
+    hb = 6
+
+    def kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, st_ref):
+        st_ref[0] = x_ref[:]
+        msk = _ms_masks(HW, W, 0, H)
+
+        def step(i, c):
+            x = st_ref[jnp.mod(i, 2)]
+            band = jnp.concatenate(
+                [x[:, HW - hb * W :], x, x[:, : hb * W]], axis=1)
+            _, pct = _flat_percept_ms(band, None, HW, W, jnp.float32, msk)
+            acc = (pct[:CP] + pct[CP : 2 * CP] + pct[2 * CP : 3 * CP]
+                   + pct[3 * CP :])
+            st_ref[jnp.mod(i + 1, 2)] = x + 1e-4 * acc
+            return c
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+        o_ref[:] = st_ref[jnp.mod(n_steps, 2)]
+
+    return kernel
+
+
+def make_quarter_kernel(n_steps):
+    def kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, st_ref):
+        st_ref[0] = x_ref[:]
+        b0 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1) % WW == 0
+        bw1 = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1) % WW == WW - 1
+
+        def step(i, c):
+            # double-buffered Jacobi like the production kernels (an
+            # in-place read+write state serializes on the RAW hazard)
+            x = st_ref[jnp.mod(i, 2)]
             pct = quarter_percept(x, b0, bw1)
             hid = jnp.maximum(
                 jnp.dot(w1t_ref[:], pct,
@@ -213,11 +258,11 @@ def make_quarter_kernel(n_steps):
             dx = jnp.dot(w2t_ref[:], hid,
                          preferred_element_type=jnp.float32) \
                 + b2_ref[:].reshape(CP, 1)
-            st_ref[:] = x + dx  # update_rate=1.0: mask == 1
+            st_ref[jnp.mod(i + 1, 2)] = x + dx  # update_rate=1.0: mask == 1
             return c
 
         jax.lax.fori_loop(0, n_steps, step, 0)
-        o_ref[:] = st_ref[:]
+        o_ref[:] = st_ref[jnp.mod(n_steps, 2)]
 
     return kernel
 
@@ -226,11 +271,11 @@ def make_anchor_kernel(n_steps):
     hb = 6
 
     def kernel(x_ref, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, st_ref):
-        st_ref[:] = x_ref[:]
+        st_ref[0] = x_ref[:]
         msk = _ms_masks(HW, W, 0, H)
 
         def step(i, c):
-            x = st_ref[:]
+            x = st_ref[jnp.mod(i, 2)]
             band = jnp.concatenate(
                 [x[:, HW - hb * W :], x, x[:, : hb * W]], axis=1)
             _, pct = _flat_percept_ms(band, None, HW, W, jnp.float32, msk)
@@ -241,11 +286,11 @@ def make_anchor_kernel(n_steps):
             dx = jnp.dot(w2t_ref[:], hid,
                          preferred_element_type=jnp.float32) \
                 + b2_ref[:].reshape(CP, 1)
-            st_ref[:] = x + dx
+            st_ref[jnp.mod(i + 1, 2)] = x + dx
             return c
 
         jax.lax.fori_loop(0, n_steps, step, 0)
-        o_ref[:] = st_ref[:]
+        o_ref[:] = st_ref[jnp.mod(n_steps, 2)]
 
     return kernel
 
@@ -272,7 +317,7 @@ def build_kernel(make, params, n_steps, interpret=False):
             out_shape=jax.ShapeDtypeStruct((CP, HW), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((CP, HW), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((2, CP, HW), jnp.float32)],
             interpret=interpret,
         )
         return jax.jit(lambda x: fn(x, w1t, b1, w2t, b2))
@@ -326,7 +371,11 @@ def main():
 
     # ---- 64-step A/B (one dispatch each, min-of-3) ----
     for name, make, conv in (("anchor", make_anchor_kernel, to_flat),
-                             ("quarter", make_quarter_kernel, to_quarter)):
+                             ("quarter", make_quarter_kernel, to_quarter),
+                             ("anchor-percept", make_anchor_percept_only,
+                              to_flat),
+                             ("quarter-percept", make_quarter_percept_only,
+                              to_quarter)):
         xq = conv(x_nhwc)
         f64 = build_kernel(make, params, 64)
         fetch(f64(xq))  # compile+warm
