@@ -172,3 +172,57 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_trainer_dp_mesh_tap_schedule_matches_single_device():
+    """The reference tap schedule (tap_chunks + frameless tail) under a
+    data-parallel mesh must track the single-device trainer exactly — the
+    chunked XLA rollout + per-frame loss list all partition over the batch
+    axis with no resharding surprises."""
+    from vsnca_tpu.config import TrainConfig
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    n = 4
+    mesh = make_mesh({"data": n}, jax.devices()[:n])
+    nca_cfg = NCAConfig(c_in=6, fc_dim=16, conditioning="pos_emb")
+    loss_cfg = LossConfig(overflow_weight=100.0, appearance_weight=1.0,
+                          appearance_loss_type="Gram",
+                          video_motion_weight=5.0,
+                          video_motion_loss_type="MotionGram",
+                          motion_img_size=(16, 16))
+    train_cfg = TrainConfig(img_size=(16, 16), batch_size=n, pool_size=8,
+                            step_range=(9, 10), step_buckets=(9,),
+                            max_iterations=2, remat="none",
+                            rollout_path="xla")
+    from vsnca_tpu.models.dynca import tap_schedule
+    from vsnca_tpu.models.msoe import msoe_random_init
+
+    chunks, tail = tap_schedule(9, 4)  # frames after steps 1, 5, 9; tail 0
+    assert chunks == (1, 4, 4) and tail == 0
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    msoe = msoe_random_init(jax.random.PRNGKey(1))
+    style = jnp.asarray(
+        np.random.RandomState(1).rand(n, 16, 16, 3).astype(np.float32) * 2 - 1
+    )
+    tgt_motion = jnp.stack([style * (0.9 - 0.1 * k) for k in range(3)])
+    inputs = {"target_style": style, "target_motion_frames": tgt_motion}
+
+    t_ref = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                         msoe_params=msoe, seed=7)
+    t_dp = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                        msoe_params=msoe, seed=7, mesh=mesh)
+
+    for _ in range(2):
+        l_ref = t_ref.train_iteration(dict(inputs), step_n=9,
+                                      tap_chunks=chunks, tail_steps=tail)
+        l_dp = t_dp.train_iteration(dict(inputs), step_n=9,
+                                    tap_chunks=chunks, tail_steps=tail)
+        np.testing.assert_allclose(l_ref.loss, l_dp.loss, rtol=1e-5)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_ref.params),
+        jax.tree_util.tree_leaves(t_dp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
