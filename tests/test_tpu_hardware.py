@@ -229,3 +229,57 @@ def test_stream_flat_kernel_hardware_parity():
                                         cond=condc)
     changed = float(jnp.mean(jnp.any(out != x, axis=1)))
     assert 0.45 < changed < 0.55
+
+
+def test_inkernel_taps_hardware_matches_chunked():
+    """The one-call tapped rollout (in-kernel tap cotangent injection) ==
+    the per-chunk fused path on real hardware at update_rate=1.0 — same
+    states, frames, and parameter grads (the production video-motion
+    iteration trains through this path)."""
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        fused_train_flat_taps_supported,
+    )
+
+    cfg = NCAConfig(c_in=16, fc_dim=128, padding_mode="circular",
+                    perception_scales=(0, 1), conditioning="pos_emb",
+                    update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    h = w = 128
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 16)) - 0.5
+    cond = make_conditioning(cfg, (h, w), batch=1)
+    n_steps, taps = 11, (1, 5)
+    assert fused_train_flat_taps_supported(cfg, h, w, n_steps,
+                                           need_dcond=False)
+
+    def loss_taps(p):
+        s, _, fr = fused_rollout_train_flat(
+            p, x, 5.0, cfg, n_steps, cond_nhwc=cond, cond_no_grad=True,
+            tap_steps=taps,
+        )
+        return jnp.sum(s ** 2) + sum(
+            (i + 2.0) * jnp.sum(f ** 2) for i, f in enumerate(fr)
+        )
+
+    def loss_chunks(p):
+        xc, prev, acc = x, 0, 0.0
+        for i, t in enumerate(taps):
+            xc, rgb = fused_rollout_train_flat(
+                p, xc, 5.0, cfg, t - prev, cond_nhwc=cond,
+                cond_no_grad=True,
+            )
+            acc = acc + (i + 2.0) * jnp.sum(rgb ** 2)
+            prev = t
+        xc, _ = fused_rollout_train_flat(
+            p, xc, 5.0, cfg, n_steps - prev, cond_nhwc=cond,
+            cond_no_grad=True,
+        )
+        return acc + jnp.sum(xc ** 2)
+
+    lt, gt = jax.value_and_grad(loss_taps)(params)
+    lc, gc = jax.value_and_grad(loss_chunks)(params)
+    np.testing.assert_allclose(float(lt), float(lc), rtol=1e-5)
+    for k in gt:
+        scale = float(jnp.abs(gc[k]).max()) + 1e-12
+        err = float(jnp.abs(gt[k] - gc[k]).max()) / scale
+        assert err < 1e-3, (k, err)

@@ -1275,6 +1275,7 @@ def _make_bwd_kernel_flat_tiled(
     ccp: int,
     compute_dtype,
     need_dcond: bool = True,
+    tap_steps: Tuple[int, ...] = (),
 ):
     """Fori-over-tiles scatter backward with TILED [n_tiles, cp, n] buffers.
 
@@ -1313,11 +1314,19 @@ def _make_bwd_kernel_flat_tiled(
     ew = (4 if ms else 1) * w
 
     dn_nn = (((1,), (1,)), ((), ()))
+    if tap_steps:
+        # In-kernel frame taps: the reverse walk injects each tap frame's
+        # cotangent exactly when gx represents that state (segment must be
+        # 1 so the forward checkpointed every state the taps slice).
+        assert segment == 1
+        assert all(1 <= t < n_steps for t in tap_steps)
 
     def kernel(
         seed_ref, ckpt_ref, g_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
         w1_ref, w2_ref, *rest,
     ):
+        rest = list(rest)
+        gtaps_ref = rest.pop(0) if tap_steps else None
         if has_cond and need_dcond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
              dcondt_ref, gx_scr_ref, states_ref, adj_ref, cond_scr_ref,
@@ -1475,6 +1484,22 @@ def _make_bwd_kernel_flat_tiled(
             )
 
         def backward_step(s, k):
+            # Tap cotangent injection: gx currently represents the state
+            # AFTER step s*segment+k — a tap frame at that state adds its
+            # cotangent here, before this step's reverse pass consumes gx.
+            for ti, tstep in enumerate(tap_steps):
+                @pl.when(s * segment + k + 1 == tstep)
+                def _(ti=ti):
+                    for t in range(n_tiles):
+                        gl = pltpu.make_async_copy(
+                            gtaps_ref.at[ti, bidx, :, pl.ds(t * n, n)],
+                            adj_ref.at[:, : n],
+                            dma_sem,
+                        )
+                        gl.start()
+                        gl.wait()
+                        gxt_ref[t] += adj_ref[:, : n]
+
             pltpu.prng_seed(_step_seed(seed_ref[0], bidx, s * segment + k))
 
             def tile_body(t, carry):
@@ -2197,7 +2222,7 @@ def _untile4(a):
 
 def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
                          segment, compute_dtype, interpret, h, w, tile_rows,
-                         need_dcond):
+                         need_dcond, gtaps=None, tap_steps=()):
     """Backward dispatch for the fori-over-tiles kernel: cond rides in (and
     dx0/dcond come out) in the tiled [n_tiles, cp, n] layout; checkpoints
     and gy stay flat in HBM (the kernel retiles them with per-tile
@@ -2211,7 +2236,7 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
     ew = (4 if tuple(cfg.perception_scales) == (0, 1) else 1) * w
     kernel = _make_bwd_kernel_flat_tiled(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
-        jnp.dtype(compute_dtype), need_dcond,
+        jnp.dtype(compute_dtype), need_dcond, tuple(tap_steps),
     )
     w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
     w1p = w1t.T
@@ -2232,6 +2257,11 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
         rep(w1p.shape), rep(w2p.shape),
     ]
     args = [seed_i32.reshape(1), ckpt, gy, w1t, b1, w2t, b2, w1p, w2p]
+    if tap_steps:
+        # tap-frame cotangents [n_taps, B, cp, hw] ride in HBM; the kernel
+        # DMAs lane slices at the injection steps.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        args.append(gtaps)
     if condf is not None:
         condt = _tile4(condf, n_tiles)
         # cond rides in HBM; the kernel DMAs one [ccp, n] tile at a time.
@@ -2358,6 +2388,85 @@ def _train_bwd_flat(cfg, n_steps, segment, compute_dtype, interpret, h, w,
 fused_rollout_train_flat_hw.defvjp(_train_fwd_flat, _train_bwd_flat)
 
 
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+def fused_rollout_train_flat_taps_hw(
+    params: dict,
+    xf: jnp.ndarray,
+    condf: Optional[jnp.ndarray],
+    seed_f: jnp.ndarray,
+    cfg: NCAConfig,
+    n_steps: int,
+    segment: int,
+    compute_dtype: str,
+    interpret: bool,
+    h: int,
+    w: int,
+    tile_rows: Optional[int],
+    need_dcond: bool,
+    tap_steps: Tuple[int, ...],
+):
+    """Flat fused rollout with IN-KERNEL frame taps: one kernel pair for
+    the whole tapped schedule. Returns (y, taps [n_taps, B, cp, hw]).
+
+    Forward taps are FREE: at segment=1 the forward already checkpoints
+    every state to HBM for the backward's replay, so tap t is a slice of
+    the checkpoint buffer (reference frames = middle_feature_list[::64],
+    fit_video_motion.py:235). The backward injects each tap's cotangent
+    when its reverse walk reaches that state ('tiled' mode only). This
+    replaces the per-chunk fused calls (one call per frame + tail) with
+    ONE call — no per-chunk wrapper transposes/dispatch and no separate
+    1-step XLA program for the reference schedule's step-1 frame."""
+    y, ckpt = _fwd_call_flat(
+        params, xf, condf, seed_f.astype(jnp.int32), cfg, n_steps, 1,
+        compute_dtype, interpret, h, w, tile_rows,
+    )
+    return y, jnp.stack([ckpt[:, t] for t in tap_steps])
+
+
+def _train_fwd_flat_taps(params, xf, condf, seed_f, cfg, n_steps, segment,
+                         compute_dtype, interpret, h, w, tile_rows,
+                         need_dcond, tap_steps):
+    seed_i32 = seed_f.astype(jnp.int32)
+    y, ckpt = _fwd_call_flat(
+        params, xf, condf, seed_i32, cfg, n_steps, segment, compute_dtype,
+        interpret, h, w, tile_rows,
+    )
+    taps = jnp.stack([ckpt[:, t] for t in tap_steps])
+    return (y, taps), (params, ckpt, condf, seed_i32)
+
+
+def _train_bwd_flat_taps(cfg, n_steps, segment, compute_dtype, interpret,
+                         h, w, tile_rows, need_dcond, tap_steps, res, g):
+    gy, gtaps = g
+    params, ckpt, condf, seed_i32 = res
+    dparams, dx0, dcond = _bwd_call_flat_tiled(
+        params, ckpt, condf, seed_i32, gy, cfg, n_steps, segment,
+        compute_dtype, interpret, h, w, tile_rows, need_dcond,
+        gtaps=gtaps, tap_steps=tap_steps,
+    )
+    if condf is not None and dcond is None:
+        dcond = jnp.zeros_like(condf)
+    return dparams, dx0, dcond, jnp.zeros((), jnp.float32)
+
+
+fused_rollout_train_flat_taps_hw.defvjp(
+    _train_fwd_flat_taps, _train_bwd_flat_taps
+)
+
+
+def fused_train_flat_taps_supported(cfg: NCAConfig, h: int, w: int,
+                                    n_steps: int,
+                                    need_dcond: bool = True) -> bool:
+    """In-kernel taps need the tiled backward at segment 1 (every state
+    checkpointed; the injection walk assumes it)."""
+    if not fused_train_flat_supported(cfg, h, w, n_steps, need_dcond):
+        return False
+    plan = plan_flat_train(cfg, h, w, n_steps, need_dcond,
+                           force_mode="tiled")
+    return plan is not None and plan[0] == 1
+
+
 def fused_rollout_train_flat(
     params: dict,
     x_nhwc: jnp.ndarray,
@@ -2370,14 +2479,18 @@ def fused_rollout_train_flat(
     force_mode: Optional[str] = None,
     cond_no_grad: bool = False,
     force_segment: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    tap_steps: Tuple[int, ...] = (),
+):
     """NHWC wrapper for the FLAT custom-VJP kernel pair: returns
     (state, rgb) like ``dynca_rollout``, differentiable through the fused
     kernels. Channel pad/flatten happens inside the differentiated graph, so
     cotangents flow back through the (linear) reshape/pad exactly.
     ``force_mode`` pins the backward variant ('gather'/'scatter'/'tiled')
     and ``force_segment`` the checkpoint interval, for tests and A/B
-    benchmarks."""
+    benchmarks. ``tap_steps`` (strictly increasing, in [1, n_steps)) runs
+    the tapped-schedule variant: returns (state, rgb, [tap rgbs]) from ONE
+    kernel pair (see fused_rollout_train_flat_taps_hw; requires
+    fused_train_flat_taps_supported)."""
     b, h, w, _ = x_nhwc.shape
     plan = plan_flat_train(
         cfg, h, w, n_steps, need_dcond=not cond_no_grad, force_mode=force_mode
@@ -2398,6 +2511,34 @@ def fused_rollout_train_flat(
         condf = jnp.pad(
             cnd, ((0, 0), (0, ccp - cc), (0, 0), (0, 0))
         ).reshape(b, ccp, h * w).astype(jnp.float32)
+    if tap_steps:
+        if mode != "tiled":
+            # small grids plan 'gather'/'scatter'; the tap injection lives
+            # in the tiled backward — re-plan for it
+            plan = plan_flat_train(
+                cfg, h, w, n_steps, need_dcond=not cond_no_grad,
+                force_mode="tiled",
+            )
+            assert plan is not None, "no tiled plan for in-kernel taps"
+            segment, mode, tile_rows = plan
+        assert segment == 1 and mode == "tiled", (
+            "in-kernel taps need the seg-1 tiled plan "
+            "(fused_train_flat_taps_supported)"
+        )
+        assert all(1 <= t < n_steps for t in tap_steps)
+        out, taps = fused_rollout_train_flat_taps_hw(
+            params, xf, condf, jnp.asarray(seed_f, jnp.float32), cfg,
+            n_steps, segment, compute_dtype, interpret, h, w, tile_rows,
+            not cond_no_grad, tuple(int(t) for t in tap_steps),
+        )
+        state = jnp.transpose(out.reshape(b, cp, h, w)[:, :c], (0, 2, 3, 1))
+        tap_rgbs = [
+            jnp.transpose(
+                taps[i].reshape(b, cp, h, w)[:, : cfg.c_out], (0, 2, 3, 1)
+            ) * 2.0
+            for i in range(len(tap_steps))
+        ]
+        return state, state[..., : cfg.c_out] * 2.0, tap_rgbs
     out = fused_rollout_train_flat_hw(
         params, xf, condf, jnp.asarray(seed_f, jnp.float32), cfg, n_steps,
         segment, compute_dtype, interpret, h, w, mode, tile_rows,

@@ -118,6 +118,7 @@ def make_train_step(
             fused_rollout_train,
             fused_rollout_train_flat,
             fused_train_flat_supported,
+            fused_train_flat_taps_supported,
             fused_train_supported,
         )
 
@@ -150,14 +151,29 @@ def make_train_step(
             )
 
         if schedule is not None:
-            # Per-chunk path choice: fused where the flat plan supports the
-            # chunk length, XLA scan otherwise (1-step chunks stay on XLA —
-            # a whole Mosaic pair compile for one step buys nothing).
+            frame_steps = []
+            acc = 0
+            for c_ in schedule:
+                acc += c_
+                frame_steps.append(acc)
+            total_steps = acc + sched_tail
+            # Preferred: ONE fused call with IN-KERNEL taps (frames are
+            # checkpoint slices in the forward; the backward injects their
+            # cotangents at the tap steps) — no per-chunk calls and no
+            # separate 1-step program for the schedule's step-1 frame.
+            taps_inkernel = want_fused and fused_train_flat_taps_supported(
+                nca_cfg, hw[0], hw[1], total_steps, need_dcond=False
+            )
+            # Fallback: per-chunk path choice — fused where the flat plan
+            # supports the chunk length, XLA scan otherwise (1-step chunks
+            # stay on XLA).
             chunk_fused = {
                 c: want_fused and c > 1 and flat_ok(c)
                 for c in set(schedule) | {sched_tail}
             }
-            use_flat = any(chunk_fused[c] for c in schedule)
+            use_flat = taps_inkernel or any(
+                chunk_fused[c] for c in schedule
+            )
             use_fused = use_flat
             if rollout_path == "fused":
                 assert all(
@@ -182,7 +198,23 @@ def make_train_step(
         def objective(p):
             input_dict = {}
             if schedule is not None:
-                if use_flat or tap_chunks:
+                if taps_inkernel:
+                    # One fused kernel pair for the whole tapped rollout
+                    # (fit_video_motion.py:230-235).
+                    seed_f = jax.random.randint(
+                        k_roll, (), 0, 1 << 30
+                    ).astype(jnp.float32)
+                    tap_list = tuple(
+                        s_ for s_ in frame_steps if s_ < total_steps
+                    )
+                    state_after, rgb_last, frames = fused_rollout_train_flat(
+                        p, states, seed_f, nca_cfg, total_steps,
+                        cond_nhwc=cond, cond_no_grad=True,
+                        tap_steps=tap_list,
+                    )
+                    if frame_steps[-1] == total_steps:
+                        frames = frames + [rgb_last]
+                elif use_flat or tap_chunks:
                     # Chunked schedule: one rollout call per chunk (fused
                     # kernel pair where the plan supports the length, XLA
                     # scan otherwise), frame emitted per chunk, then the
@@ -441,8 +473,9 @@ class DyNCATrainer:
                     "the first compile per rollout-length bucket takes "
                     "seconds to minutes (remote Mosaic); set "
                     "rollout_path='xla' in TrainConfig to skip. Tapped "
-                    "(video-motion) rollouts run as per-tap fused chunks "
-                    "when the plan supports the chunk length.",
+                    "(video-motion) rollouts run as ONE fused call with "
+                    "in-kernel taps when supported, else per-tap fused "
+                    "chunks.",
                     flush=True,
                 )
         self.mesh = mesh
