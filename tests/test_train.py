@@ -277,3 +277,42 @@ def test_trainer_tap_schedule_fused_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_trainer_degenerate_single_chunk_schedule():
+    """tap_chunks=(k,) with tail_steps=0 has its only frame AT the final
+    state — no interior taps. The fused path must fall through to the
+    chunked kernel instead of calling the taps variant with tap_steps=()
+    (which returns a 2-tuple and used to raise at trace time)."""
+    import optax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vsnca_tpu.losses.orchestrator import LossState
+    from vsnca_tpu.models.dynca import dynca_init
+    from vsnca_tpu.train.trainer import make_train_step
+
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    loss_state = LossState(cfg=LossConfig(overflow_weight=1.0))
+    opt = optax.adam(1e-3)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    states = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 128, 8)) - 0.5
+    key = jax.random.PRNGKey(2)
+
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for rp in ("fused", "xla"):
+            step = make_train_step(cfg, loss_state, opt, rollout_path=rp)
+            _, _, new_states, loss, _ = step(
+                params, opt_state, states, key, {},
+                step_n=4, tap_chunks=(4,), tail_steps=0,
+            )
+            outs[rp] = (new_states, float(loss))
+
+    assert outs["fused"][1] == pytest.approx(outs["xla"][1], rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["fused"][0]), np.asarray(outs["xla"][0]),
+        rtol=1e-4, atol=1e-5,
+    )

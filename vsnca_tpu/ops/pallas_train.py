@@ -1843,11 +1843,11 @@ def bwd_tiled_vmem_bytes_estimate(
     ) // 2
     if ms:
         # Recalibrated r3b: the view-based adjoint (fewer/narrower live
-        # ranges), the narrow per-block upsample in the recompute, and the
-        # gx-in-scratch fix (no double-buffered dx0 block) brought the
-        # measured 256^2 budget from 19.11 MB (tr=8, r3a) to a compiling
-        # tr=8 body; factor 7 reproduces that boundary (tr=8 passes at
-        # 13.8 MB, tr=16's forward measured 17.1 MB > limit).
+        # ranges) and the gx-in-scratch fix (no double-buffered dx0 block)
+        # brought the measured 256^2 budget from 19.11 MB (tr=8, r3a) to a
+        # compiling tr=8 body; factor 7 is purely the measured tr=8/tr=16
+        # boundary (tr=8 passes at 13.8 MB, tr=16's forward measured
+        # 17.1 MB > limit).
         tile += 4 * (n + 12 * w) * cp * 7  # percept + transpose live ranges
     return buf + tile
 

@@ -161,8 +161,16 @@ def make_train_step(
             # checkpoint slices in the forward; the backward injects their
             # cotangents at the tap steps) — no per-chunk calls and no
             # separate 1-step program for the schedule's step-1 frame.
-            taps_inkernel = want_fused and fused_train_flat_taps_supported(
-                nca_cfg, hw[0], hw[1], total_steps, need_dcond=False
+            # A degenerate schedule whose only frame IS the final state
+            # (e.g. tap_chunks=(k,) with tail 0) has no interior taps —
+            # the plain chunked path below handles it.
+            tap_list = tuple(s_ for s_ in frame_steps if s_ < total_steps)
+            taps_inkernel = (
+                want_fused
+                and bool(tap_list)
+                and fused_train_flat_taps_supported(
+                    nca_cfg, hw[0], hw[1], total_steps, need_dcond=False
+                )
             )
             # Fallback: per-chunk path choice — fused where the flat plan
             # supports the chunk length, XLA scan otherwise (1-step chunks
@@ -175,7 +183,11 @@ def make_train_step(
                 chunk_fused[c] for c in schedule
             )
             use_fused = use_flat
-            if rollout_path == "fused":
+            if rollout_path == "fused" and not taps_inkernel:
+                # When the one-call taps path runs, no per-chunk kernel is
+                # ever launched — only the total_steps support check above
+                # gates it; the per-chunk requirement applies to the
+                # chunked fallback alone.
                 assert all(
                     chunk_fused[c] for c in schedule + (sched_tail,)
                     if c > 1
@@ -204,9 +216,6 @@ def make_train_step(
                     seed_f = jax.random.randint(
                         k_roll, (), 0, 1 << 30
                     ).astype(jnp.float32)
-                    tap_list = tuple(
-                        s_ for s_ in frame_steps if s_ < total_steps
-                    )
                     state_after, rgb_last, frames = fused_rollout_train_flat(
                         p, states, seed_f, nca_cfg, total_steps,
                         cond_nhwc=cond, cond_no_grad=True,
