@@ -155,3 +155,31 @@ def test_encoder_loss_fn_zero_for_matching_content():
     img = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32))
     total, logs = loss_fn(img, img, img, jax.random.PRNGKey(0))
     assert float(total) < 1e-10  # content loss of identical images
+
+
+def test_host_dead_check_matches_device_alive_mask():
+    """The trainer's host-side numpy dead check must agree with
+    sum(alive_mask)==0 for alive, dead, and threshold-straddling states."""
+    from vsnca_tpu.models.conditioned_nca import alive_mask
+
+    tr = _tiny_trainer()
+    cfg = tr.cfg
+    rng = np.random.RandomState(0)
+    shape = (cfg.image_size, cfg.image_size, cfg.num_channels)
+    cases = []
+    for scale in (0.0, 0.05, 0.2, 1.0):
+        e = rng.rand(*shape).astype(np.float32) * scale
+        cases.append(e)
+    # exact-threshold alpha (maxpool > thr is strict: exactly-at-threshold
+    # counts as dead)
+    e = np.zeros(shape, np.float32)
+    e[..., cfg.alive_channel] = cfg.alpha_living_threshold
+    cases.append(e)
+    e2 = e.copy()
+    e2[3, 3, cfg.alive_channel] = cfg.alpha_living_threshold + 1e-4
+    cases.append(e2)
+    for entry in cases:
+        device_dead = (
+            float(jnp.sum(alive_mask(jnp.asarray(entry)[None], cfg))) == 0.0
+        )
+        assert tr._is_dead(entry) == device_dead

@@ -226,3 +226,132 @@ def test_trainer_dp_mesh_tap_schedule_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_fused_dp_shard_map_matches_single_device_fused():
+    """The shard_map'd flat custom-VJP pair (parallel/fused_dp.py) must
+    equal the single-device fused call exactly at update_rate=1.0 —
+    forward state, rgb, AND param grads (shard_map's transpose inserts
+    the psum for the replicated params)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vsnca_tpu.models.dynca import make_conditioning
+    from vsnca_tpu.ops.pallas_train import (
+        fused_rollout_train_flat,
+        fused_train_flat_supported,
+    )
+    from vsnca_tpu.parallel.fused_dp import fused_rollout_train_flat_dp
+
+    n = 4
+    mesh = make_mesh({"data": n}, jax.devices()[:n])
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    assert fused_train_flat_supported(cfg, 16, 128, 6, need_dcond=False)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=n)
+    seed_f = jnp.float32(12345.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_single(p):
+            s, rgb = fused_rollout_train_flat(
+                p, x, seed_f, cfg, 6, cond_nhwc=cond, cond_no_grad=True
+            )
+            return jnp.sum(s ** 2) + jnp.sum(rgb ** 2)
+
+        def loss_dp(p):
+            s, rgb = fused_rollout_train_flat_dp(
+                mesh, "data", p, x, seed_f, cfg, 6,
+                cond_nhwc=cond, cond_no_grad=True,
+            )
+            return jnp.sum(s ** 2) + jnp.sum(rgb ** 2)
+
+        (v1, g1) = jax.value_and_grad(loss_single)(params)
+        (v2, g2) = jax.value_and_grad(loss_dp)(params)
+
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fused_dp_taps_matches_single_device():
+    """In-kernel tap frames under shard_map == single-device taps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vsnca_tpu.models.dynca import make_conditioning
+    from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
+    from vsnca_tpu.parallel.fused_dp import fused_rollout_train_flat_dp
+
+    n = 2
+    mesh = make_mesh({"data": n}, jax.devices()[:n])
+    cfg = NCAConfig(c_in=8, fc_dim=16, padding_mode="circular",
+                    conditioning="pos_emb", update_rate=1.0)
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 16, 128, 8)) - 0.5
+    cond = make_conditioning(cfg, (16, 128), batch=n)
+    seed_f = jnp.float32(7.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        s1, r1, taps1 = fused_rollout_train_flat(
+            params, x, seed_f, cfg, 6, cond_nhwc=cond, cond_no_grad=True,
+            tap_steps=(1, 4),
+        )
+        s2, r2, taps2 = fused_rollout_train_flat_dp(
+            mesh, "data", params, x, seed_f, cfg, 6,
+            cond_nhwc=cond, cond_no_grad=True, tap_steps=(1, 4),
+        )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(taps1, taps2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_dp_mesh_fused_matches_single_device():
+    """DyNCATrainer(mesh=..., rollout_path='fused') — the composed
+    scale-out + flagship path (the r3 downgrade is gone) — must track the
+    single-device fused trainer exactly at update_rate=1.0."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vsnca_tpu.config import TrainConfig
+    from vsnca_tpu.train.trainer import DyNCATrainer
+
+    n = 4
+    mesh = make_mesh({"data": n}, jax.devices()[:n])
+    nca_cfg = NCAConfig(c_in=8, fc_dim=16, conditioning="pos_emb",
+                        padding_mode="circular", update_rate=1.0)
+    loss_cfg = LossConfig(overflow_weight=100.0, appearance_weight=1.0,
+                          appearance_loss_type="Gram")
+    train_cfg = TrainConfig(img_size=(16, 128), batch_size=n, pool_size=8,
+                            step_range=(4, 5), step_buckets=(4,),
+                            max_iterations=2, remat="none",
+                            rollout_path="fused")
+    vgg = vgg16_random_init(jax.random.PRNGKey(0))
+    style = jnp.asarray(
+        np.random.RandomState(1).rand(n, 16, 128, 3).astype(np.float32) * 2 - 1
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        t_ref = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                             seed=7)
+        t_dp = DyNCATrainer(nca_cfg, loss_cfg, train_cfg, vgg_params=vgg,
+                            seed=7, mesh=mesh)
+        for _ in range(2):
+            l_ref = t_ref.train_iteration({"target_style": style}, step_n=4)
+            l_dp = t_dp.train_iteration({"target_style": style}, step_n=4)
+            np.testing.assert_allclose(l_ref.loss, l_dp.loss, rtol=1e-5)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_ref.params),
+        jax.tree_util.tree_leaves(t_dp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(t_ref.pool.states), np.asarray(t_dp.pool.states),
+        rtol=1e-4, atol=1e-6,
+    )

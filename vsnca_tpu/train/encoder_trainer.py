@@ -34,7 +34,6 @@ from vsnca_tpu.config import ConditionedNCAConfig
 from vsnca_tpu.losses.appearance import gram_loss, ot_style_loss, sliced_wasserstein_loss
 from vsnca_tpu.losses.overflow import overflow_loss
 from vsnca_tpu.models.conditioned_nca import (
-    alive_mask,
     conditioned_nca_grow,
     conditioned_nca_init,
     conditioned_nca_seed,
@@ -205,8 +204,17 @@ class ConditionedNCATrainer:
         return int(buckets[np.argmin(np.abs(buckets - raw))])
 
     def _is_dead(self, entry: np.ndarray) -> bool:
-        alive = alive_mask(jnp.asarray(entry)[None], self.cfg)
-        return float(jnp.sum(alive)) == 0.0
+        """Host-side equivalent of ``sum(alive_mask) == 0``: the stride-1
+        3x3 maxpool has any cell above the living threshold iff the raw
+        alpha max is above it — so the check is one numpy max on the
+        host-resident pool entry instead of a blocking device round-trip
+        per entry (batch_size fetches/iteration over the axon tunnel)."""
+        if not self.cfg.use_living_channel:
+            return False
+        a = np.asarray(entry)[..., self.cfg.alive_channel]
+        # float32 comparison, matching the device kernel's dtype (a Python
+        # double threshold would mis-classify exact-threshold alphas).
+        return not bool(a.max() > np.float32(self.cfg.alpha_living_threshold))
 
     def damage(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Zero circular patches in the LAST num_damaged entries

@@ -45,8 +45,18 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     remat: str = "per_step",
     rollout_path: str = "auto",
+    mesh=None,
+    data_axis: Optional[str] = None,
 ):
     """Build the jitted train step.
+
+    ``mesh``/``data_axis``: data-parallel mode. The XLA rollout is
+    partitioned by GSPMD from the batch sharding alone; the fused Pallas
+    custom-VJP pairs run via shard_map (parallel/fused_dp.py) — one kernel
+    instance per device on its local batch shard, params replicated,
+    gradient psum inserted by shard_map's transpose. The CHW fused
+    fallback has no shard_map wrapper and is skipped under a mesh (the
+    flat pair covers every production shape).
 
     Returns step(params, opt_state, states, key, inputs, *, step_n,
     n_motion_frames=0, tap_every=0) →
@@ -125,6 +135,26 @@ def make_train_step(
         want_fused = rollout_path == "fused" or (
             rollout_path == "auto" and jax.default_backend() == "tpu"
         )
+
+        def call_flat(p, x, k_i, c, tap_steps=()):
+            """One fused flat rollout call — shard_map'd per batch shard
+            under a data-parallel mesh, plain custom-VJP call otherwise."""
+            seed_f = jax.random.randint(k_i, (), 0, 1 << 30).astype(
+                jnp.float32
+            )
+            if mesh is not None:
+                from vsnca_tpu.parallel.fused_dp import (
+                    fused_rollout_train_flat_dp,
+                )
+
+                return fused_rollout_train_flat_dp(
+                    mesh, data_axis, p, x, seed_f, nca_cfg, c,
+                    cond_nhwc=cond, cond_no_grad=True, tap_steps=tap_steps,
+                )
+            return fused_rollout_train_flat(
+                p, x, seed_f, nca_cfg, c, cond_nhwc=cond,
+                cond_no_grad=True, tap_steps=tap_steps,
+            )
         # need_dcond=False: the trainer's conditioning is a
         # positional-encoding constant or a stop-gradient'd edge
         # map (make_conditioning) — no cond cotangent needed.
@@ -199,6 +229,7 @@ def make_train_step(
             use_flat = want_fused and flat_ok(step_n)
             use_fused = use_flat or (
                 want_fused
+                and mesh is None  # CHW fallback has no shard_map wrapper
                 and fused_train_supported(nca_cfg, hw[0], hw[1], step_n)
             )
             if rollout_path == "fused":
@@ -213,13 +244,8 @@ def make_train_step(
                 if taps_inkernel:
                     # One fused kernel pair for the whole tapped rollout
                     # (fit_video_motion.py:230-235).
-                    seed_f = jax.random.randint(
-                        k_roll, (), 0, 1 << 30
-                    ).astype(jnp.float32)
-                    state_after, rgb_last, frames = fused_rollout_train_flat(
-                        p, states, seed_f, nca_cfg, total_steps,
-                        cond_nhwc=cond, cond_no_grad=True,
-                        tap_steps=tap_list,
+                    state_after, rgb_last, frames = call_flat(
+                        p, states, k_roll, total_steps, tap_steps=tap_list
                     )
                     if frame_steps[-1] == total_steps:
                         frames = frames + [rgb_last]
@@ -233,13 +259,7 @@ def make_train_step(
                     ks = jax.random.split(k_roll, n_frames + 1)
                     def run_chunk(p, x, k_i, c):
                         if chunk_fused[c]:
-                            seed_f = jax.random.randint(
-                                k_i, (), 0, 1 << 30
-                            ).astype(jnp.float32)
-                            return fused_rollout_train_flat(
-                                p, x, seed_f, nca_cfg, c,
-                                cond_nhwc=cond, cond_no_grad=True,
-                            )
+                            return call_flat(p, x, k_i, c)
                         return dynca_rollout(
                             p, x, k_i, nca_cfg, c, cond=cond, remat=remat
                         )
@@ -272,15 +292,14 @@ def make_train_step(
                     # entirely in VMEM (ops/pallas_train.py); the flat
                     # layout is preferred (measured faster, see
                     # docs/ROUND2.md), CHW pair as fallback.
-                    seed_f = jax.random.randint(
-                        k_roll, (), 0, 1 << 30
-                    ).astype(jnp.float32)
                     if use_flat:
-                        state_after, rgb_after = fused_rollout_train_flat(
-                            p, states, seed_f, nca_cfg, step_n,
-                            cond_nhwc=cond, cond_no_grad=True,
+                        state_after, rgb_after = call_flat(
+                            p, states, k_roll, step_n
                         )
                     else:
+                        seed_f = jax.random.randint(
+                            k_roll, (), 0, 1 << 30
+                        ).astype(jnp.float32)
                         state_after, rgb_after = fused_rollout_train(
                             p, states, seed_f, nca_cfg, step_n, cond_nhwc=cond
                         )
@@ -451,20 +470,8 @@ class DyNCATrainer:
             )
         )
         rollout_path = getattr(train_cfg, "rollout_path", "auto")
-        if mesh is not None and rollout_path != "xla":
-            # The fused Pallas custom-VJP kernels have no SPMD partitioning
-            # rule — under a data-parallel mesh the batch-sharded states
-            # must stay on the XLA rollout (GSPMD partitions it cleanly).
-            # An EXPLICIT 'fused' request is an error (make_train_step
-            # asserts loudly in the same situation); 'auto' downgrades.
-            if rollout_path == "fused":
-                raise ValueError(
-                    "rollout_path='fused' is incompatible with a "
-                    "data-parallel mesh: the fused custom-VJP kernels have "
-                    "no SPMD partitioning rule. Use rollout_path='auto' or "
-                    "'xla' with mesh=..."
-                )
-            rollout_path = "xla"
+        # mesh + fused compose: the flat custom-VJP pair runs via shard_map
+        # over the batch axis (parallel/fused_dp.py) — no downgrade.
         if rollout_path in ("auto", "fused") and jax.default_backend() == "tpu":
             from vsnca_tpu.ops.pallas_train import (
                 fused_train_flat_supported,
@@ -488,6 +495,7 @@ class DyNCATrainer:
                     flush=True,
                 )
         self.mesh = mesh
+        self._data_axis = mesh.axis_names[0] if mesh is not None else None
         self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -508,7 +516,7 @@ class DyNCATrainer:
         self._rollout_path = rollout_path
         self._train_step = make_train_step(
             nca_cfg, self.loss_state, self.optimizer, train_cfg.remat,
-            rollout_path,
+            rollout_path, mesh=mesh, data_axis=self._data_axis,
         )
         self._pooled_step = make_pooled_train_step(
             self._train_step, self._batch_sharding
@@ -542,6 +550,7 @@ class DyNCATrainer:
         self._train_step = make_train_step(
             self.nca_cfg, self.loss_state, self.optimizer,
             self.train_cfg.remat, self._rollout_path,
+            mesh=self.mesh, data_axis=self._data_axis,
         )
         self._pooled_step = make_pooled_train_step(
             self._train_step, self._batch_sharding
