@@ -56,9 +56,16 @@ def export_models_to_webgl_json(
     model_names: Sequence[str],
     pos_emb: bool = False,
     edge_conditioning: bool = False,
+    n_perception_scales: int = 1,
 ) -> dict:
     """Stack models and emit the docs/dynca.js JSON payload (notebook
-    cells 1-3)."""
+    cells 1-3).
+
+    ``n_perception_scales``: multiscale models (video-motion, scales
+    (0,1)) must carry the top-level key — dynca.js:881 reads it to enable
+    the bilinear_downsample/perception1/upsample_add passes; the
+    reference's own video_models/*.json all include it, vec-field models
+    omit it (runtime default 1), so we only emit it when > 1."""
     np_models = None
     for params in params_list:
         mats = params_to_layer_mats(params)
@@ -70,6 +77,8 @@ def export_models_to_webgl_json(
             ]
 
     models_js = {"model_names": list(model_names), "layers": []}
+    if n_perception_scales > 1:
+        models_js["n_perception_scales"] = int(n_perception_scales)
     for i, layer in enumerate(np_models):
         shape = layer[0].shape
         layer = np.array(layer)  # [n, rows, cols]
@@ -115,11 +124,13 @@ def save_webgl_model(
     edge_conditioning: bool = False,
     metadata_json_path: Optional[str] = None,
     texture_name: Optional[str] = None,
+    n_perception_scales: int = 1,
 ):
     """Write the model JSON and optionally register the texture in the demo
     page's metadata.json (notebook cell 3)."""
     js = export_models_to_webgl_json(
-        params_list, model_names, pos_emb, edge_conditioning
+        params_list, model_names, pos_emb, edge_conditioning,
+        n_perception_scales=n_perception_scales,
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
