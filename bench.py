@@ -24,6 +24,19 @@ def _fetch(x):
 
 
 def bench_fused(size: int, n_steps: int = 96, iters: int = 10):
+    """Returns (chained_sec, unchained_sec) per n_steps-rollout, or None.
+
+    chained: the whole iters-deep rollout chain runs as ONE jitted program
+    (one dispatch per measurement) — per-dispatch tunnel latency on this
+    stack drifts 1 -> 5+ ms within a session (docs/ROUND3.md), which at
+    ~4 ms/call of compute would masquerade as a 2x kernel regression;
+    serving pipelines dispatches, so device throughput is the honest
+    primary metric. min-of-3 rounds on top (one-sided host noise).
+
+    unchained: independent same-arg calls + one final fetch — the r1/r2
+    methodology, kept as the permanent platform-drift canary (a chained/
+    unchained divergence flags dispatch-latency drift, not kernel change).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -39,20 +52,16 @@ def bench_fused(size: int, n_steps: int = 96, iters: int = 10):
     params = dynca_init(jax.random.PRNGKey(0), cfg)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, cfg.c_in, size, size)) - 0.5
 
-    # The whole iters-deep rollout chain runs as ONE jitted program (one
-    # dispatch per measurement): per-dispatch tunnel latency on this stack
-    # drifts 1 -> 5+ ms within a session (docs/ROUND3.md), which at
-    # ~4 ms/call of compute would masquerade as a 2x kernel regression.
-    # Serving pipelines dispatches, so device throughput is the honest
-    # metric. min-of-3 rounds on top (one-sided host noise).
-    import jax as _jax
-
-    @_jax.jit
+    @jax.jit
     def chain(s):
         for i in range(iters):
             s = fn(params, s, jnp.int32(i), cfg, n_steps,
                    compute_dtype="bfloat16")
         return s
+
+    one = jax.jit(
+        lambda s, i: fn(params, s, i, cfg, n_steps, compute_dtype="bfloat16")
+    )
 
     s = chain(x)
     _fetch(s)
@@ -63,10 +72,23 @@ def bench_fused(size: int, n_steps: int = 96, iters: int = 10):
         _fetch(s)
         dt = (time.perf_counter() - t0) / iters
         best = dt if best is None else min(best, dt)
-    return best
+
+    r = one(x, jnp.int32(0))
+    _fetch(r)
+    best_u = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            r = one(x, jnp.int32(i))
+        _fetch(r)
+        dt = (time.perf_counter() - t0) / iters
+        best_u = dt if best_u is None else min(best_u, dt)
+    return best, best_u
 
 
 def bench_xla(size: int, n_steps: int = 96, iters: int = 10):
+    """(chained_sec, unchained_sec) per rollout for the XLA scan — see
+    bench_fused for the two-methodology rationale."""
     import jax
 
     from vsnca_tpu.config import NCAConfig
@@ -79,21 +101,35 @@ def bench_xla(size: int, n_steps: int = 96, iters: int = 10):
 
     @jax.jit
     def chain(x):
-        # one dispatch for the whole chain — see bench_fused
         for _ in range(iters):
             x, _ = dynca_rollout(params, x, key, cfg, n_steps, remat="none")
         return x
 
+    one = jax.jit(
+        lambda x: dynca_rollout(params, x, key, cfg, n_steps, remat="none")[0]
+    )
+
     s = chain(x)
     _fetch(s)
     best = None
-    for _ in range(3):  # min-of-3 (see bench_fused)
+    for _ in range(3):
         t0 = time.perf_counter()
         s = chain(s)
         _fetch(s)
         dt = (time.perf_counter() - t0) / iters
         best = dt if best is None else min(best, dt)
-    return best
+
+    r = one(x)
+    _fetch(r)
+    best_u = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = one(x)
+        _fetch(r)
+        dt = (time.perf_counter() - t0) / iters
+        best_u = dt if best_u is None else min(best_u, dt)
+    return best, best_u
 
 
 def _bench_fused_subprocess(timeout_s: int = 1200):
@@ -185,10 +221,44 @@ def bench_grad_pair(size, c_in, fc_dim, steps=64, batch=2, iters=8,
     return xla_ms, fused_ms
 
 
+def bench_encoder_training(iters: int = 5):
+    """Train it/s for the EncoderConditioning preset (64px, batch 8, the
+    reference train.py defaults; fixed 64-step growth for a stable shape)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsnca_tpu.config import ConditionedNCAConfig
+    from vsnca_tpu.data.dataset import ConditioningDataset
+    from vsnca_tpu.data.preprocess import synthetic_video, synthetic_style_image
+    from vsnca_tpu.models.vgg import load_vgg16
+    from vsnca_tpu.train.encoder_trainer import ConditionedNCATrainer
+
+    dataset = ConditioningDataset(
+        (np.asarray(synthetic_video((64, 64), 8)) + 1.0) / 2.0
+    )
+    style = jnp.asarray(synthetic_style_image((64, 64), 1))
+    vgg, _ = load_vgg16()
+    trainer = ConditionedNCATrainer(
+        ConditionedNCAConfig(image_size=64), dataset, style, vgg,
+        step_buckets=(64,), pool_size=64,
+    )
+    trainer.train_iteration(batch_size=8, num_steps=64)
+    trainer.train_iteration(batch_size=8, num_steps=64)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            trainer.train_iteration(batch_size=8, num_steps=64)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
 def bench_training():
-    """Train iters/sec for the static_texture and video_motion presets, plus
-    the torch-CPU ratio on the SAME workload as scripts/bench_torch_cpu.py
-    (128px, batch 4, 64-step BPTT, Gram) — the >=20x BASELINE target."""
+    """Train iters/sec for ALL five BASELINE presets plus the torch-CPU
+    ratio on the SAME workload as scripts/bench_torch_cpu.py (128px,
+    batch 4, 64-step BPTT, Gram) — the >=20x BASELINE target."""
     from vsnca_tpu.infer.benchmark import benchmark_train_step
 
     out = {}
@@ -200,6 +270,33 @@ def bench_training():
     # minutes through the axon remote compiler; run it in a subprocess with
     # a hard timeout so a stuck compile can't take the whole bench down.
     out["train_iters_per_sec_static_texture_fused"] = _bench_fused_subprocess()
+
+    # Remaining BASELINE configs (VERDICT r3 next-round #1: every preset
+    # gets an it/s row). All production-path (auto rollout, precomputed
+    # target features where the trainer supports it).
+    for key, kw in (
+        ("train_iters_per_sec_vector_field", dict(
+            preset="vector_field_motion", iters=5, step_n=64,
+            precompute_targets=True)),
+        ("train_iters_per_sec_edge_conditioned", dict(
+            preset="edge_conditioned", iters=3, step_n=64,
+            precompute_targets=True)),
+        ("train_iters_per_sec_extra_channels", dict(
+            preset="extra_channels", iters=3, step_n=64,
+            precompute_targets=True)),
+    ):
+        try:
+            r = benchmark_train_step(**kw)
+            out[key] = r["train_iters_per_sec"]
+        except Exception as e:  # pragma: no cover - bench resilience
+            out[key] = None
+            out[key + "_error"] = repr(e)
+
+    try:
+        out["train_iters_per_sec_encoder"] = bench_encoder_training()
+    except Exception as e:  # pragma: no cover - bench resilience
+        out["train_iters_per_sec_encoder"] = None
+        out["encoder_error"] = repr(e)
 
     try:
         # Primary: the reference-faithful iteration shape (step_n=128 total
@@ -256,15 +353,35 @@ def main():
     for size in (256, 512):
         tf = bench_fused(size, n_steps)
         tx = bench_xla(size, n_steps)
-        best = min(t for t in (tf, tx) if t is not None)
+        tf_c, tf_u = tf if tf is not None else (None, None)
+        tx_c, tx_u = tx
+        best = min(t for t in (tf_c, tx_c) if t is not None)
         results[size] = {
-            "fused_ms_per_step": 1000 * tf / n_steps if tf else None,
-            "xla_ms_per_step": 1000 * tx / n_steps,
+            # chained = primary (device throughput, one dispatch);
+            # unchained = per-dispatch canary (r1/r2 methodology) — a
+            # divergence between the two flags tunnel-latency drift, not a
+            # kernel change (docs/ROUND3.md; ADVICE r3 #4).
+            "fused_ms_per_step": 1000 * tf_c / n_steps if tf_c else None,
+            "fused_ms_per_step_unchained": (
+                1000 * tf_u / n_steps if tf_u else None
+            ),
+            "xla_ms_per_step": 1000 * tx_c / n_steps,
+            "xla_ms_per_step_unchained": 1000 * tx_u / n_steps,
             "cell_updates_per_sec": size * size * n_steps / best,
             "fps_24steps": (n_steps / best) / 24.0,
         }
 
     train = bench_training()
+
+    # Concurrent-serving aggregate (README headline; VERDICT r3 weak #6).
+    try:
+        from vsnca_tpu.infer.benchmark import benchmark_serving
+
+        sv = benchmark_serving(size=256, n_streams=8)
+        train["serving_aggregate_fps_8x256"] = sv["aggregate_fps"]
+    except Exception as e:  # pragma: no cover - bench resilience
+        train["serving_aggregate_fps_8x256"] = None
+        train["serving_error"] = repr(e)
 
     # Paired same-process grad ms at the headline shapes (static-texture
     # 128px c12/fc96; flagship 256px; video-motion ms 256px c16/fc128).
@@ -290,6 +407,12 @@ def main():
             "fps_256px_24steps": results[256]["fps_24steps"],
             "fps_512px_24steps": results[512]["fps_24steps"],
             "fused_ms_per_step_256": results[256]["fused_ms_per_step"],
+            "fused_ms_per_step_256_unchained": results[256][
+                "fused_ms_per_step_unchained"
+            ],
+            "fused_ms_per_step_512_unchained": results[512][
+                "fused_ms_per_step_unchained"
+            ],
             "xla_ms_per_step_256": results[256]["xla_ms_per_step"],
             "xla_ms_per_step_512": results[512]["xla_ms_per_step"],
             **train,

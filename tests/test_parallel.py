@@ -355,3 +355,50 @@ def test_trainer_dp_mesh_fused_matches_single_device():
         np.asarray(t_ref.pool.states), np.asarray(t_dp.pool.states),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_spatial_rollout_multiscale_matches_dense():
+    """scales (0,1) + circular: the 6-row-halo sharded rollout must equal
+    the dense perceive_multiscale rollout exactly at update_rate=1.0 —
+    the config-3 (video-motion) percept is now spatially shardable."""
+    n = 4
+    mesh = make_mesh({"space": n}, jax.devices()[:n])
+    cfg = NCAConfig(c_in=6, fc_dim=16, padding_mode="circular",
+                    update_rate=1.0, perception_scales=(0, 1))
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    # H=32 -> 8-row slabs (even, >= 6-row halo); W=12 stays unsharded
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 12, 6)) - 0.5
+
+    s_sharded, _ = spatial_rollout(
+        params, x, jax.random.PRNGKey(2), cfg, 5, mesh
+    )
+    s_dense, _ = dynca_rollout(
+        params, x, jax.random.PRNGKey(2), cfg, 5, remat="none"
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sharded), np.asarray(s_dense), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spatial_rollout_multiscale_with_conditioning():
+    """ms sharding with a sharded conditioning tensor (pos_emb slabs)."""
+    n = 2
+    mesh = make_mesh({"space": n}, jax.devices()[:n])
+    cfg = NCAConfig(c_in=6, fc_dim=16, padding_mode="circular",
+                    update_rate=1.0, perception_scales=(0, 1),
+                    conditioning="pos_emb")
+    from vsnca_tpu.models.dynca import make_conditioning
+
+    params = dynca_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 12, 6)) - 0.5
+    cond = make_conditioning(cfg, (16, 12), batch=1)
+
+    s_sharded, _ = spatial_rollout(
+        params, x, jax.random.PRNGKey(2), cfg, 3, mesh, cond=cond
+    )
+    s_dense, _ = dynca_rollout(
+        params, x, jax.random.PRNGKey(2), cfg, 3, cond=cond, remat="none"
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sharded), np.asarray(s_dense), rtol=1e-4, atol=1e-5
+    )

@@ -263,6 +263,19 @@ def benchmark_train_step(
         synthetic_style_image(train_cfg.img_size, train_cfg.batch_size) * 2 - 1
     )
     inputs = {"target_style": style}
+    # Conditioned presets (edge_conditioned / extra_channels) consume
+    # content frames: auxiliary images + their grayscale (experiments.py
+    # :193-211) — synthesize a fixed batch.
+    if (nca_cfg.conditioning == "edges"
+            or nca_cfg.n_seed_channels < nca_cfg.c_in
+            or loss_cfg.auxiliary_weight):
+        aux = jnp.asarray(
+            synthetic_style_image(
+                train_cfg.img_size, train_cfg.batch_size, seed=7
+            ) * 2 - 1
+        )
+        inputs["aux_imgs"] = aux
+        inputs["aux_gs"] = jnp.mean(aux, axis=-1, keepdims=True)
     if step_n is None:
         step_n = train_cfg.step_buckets[len(train_cfg.step_buckets) // 2]
 

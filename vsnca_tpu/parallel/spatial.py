@@ -8,8 +8,18 @@ math as the single-device cell. Boundary semantics honor the configured
 padding mode: 'circular' maps to the ppermute ring directly; 'replicate' and
 'zeros' overwrite the outermost halos on the edge devices.
 
-Restrictions: perception_scales == (0,) (multi-scale would need cross-shard
-resampling) and conditioning precomputed/sharded by the caller.
+Multi-scale (perception_scales == (0, 1), the video-motion percept,
+ExtraChannels/models/dynca.py:98-111) shards too, for CIRCULAR padding:
+each device exchanges a 6-row halo (the multiscale stencil's full-res
+reach, same bound as the tiled train kernel's _MS_HALO) and evaluates the
+dense ``perceive_multiscale`` on the haloed slab as if it were a whole
+grid — the slab-local padding artifacts live within the halo and the
+center crop is exact. The 2x2 downsample cells stay aligned to GLOBAL
+even rows because both the slab height and the halo are even. Replicate/
+zeros with multi-scale stay unsupported (they would need half-resolution
+edge semantics on the edge devices); the production multi-scale preset
+(video_motion) is circular. Conditioning is precomputed/sharded by the
+caller.
 """
 
 from __future__ import annotations
@@ -25,6 +35,40 @@ from jax import shard_map
 from vsnca_tpu.config import NCAConfig
 from vsnca_tpu.models.dynca import to_rgb
 from vsnca_tpu.ops.filters import LAPLACIAN, SOBEL_X, SOBEL_Y
+
+
+def _up2x_global_clamp(ps, q0, half_h_global):
+    """Factor-2 bilinear upsample (align_corners=False: the 0.75/0.25
+    two-tap chain) of a half-res slab, with the H edge clamp applied at
+    the GLOBAL grid boundary rather than the slab boundary.
+
+    The dense ``resize_bilinear`` clamps its sampling at the grid edge
+    even under circular padding (torch F.interpolate semantics, which the
+    reference inherits — ConditioneDyNCA/models/dynca.py:98-111). A
+    sharded slab must reproduce that clamp exactly at global half rows 0
+    and H/2-1 while using real wrapped neighbors everywhere else.
+
+    ps: [B, m, w2, C] half-res slab whose row s is global half row
+    ``q0 + s`` (q0 may be negative / beyond H/2 for the wrap halos —
+    those output rows land in the cropped halo). W is unsharded, so its
+    clamp is local == global.
+    """
+    b, m, w2, c = ps.shape
+    q = q0 + jnp.arange(m)
+    prev = jnp.concatenate([ps[:, :1], ps[:, :-1]], axis=1)
+    nxt = jnp.concatenate([ps[:, 1:], ps[:, -1:]], axis=1)
+    at_g0 = (q == 0)[None, :, None, None]
+    at_gn = (q == half_h_global - 1)[None, :, None, None]
+    prev = jnp.where(at_g0, ps, prev)
+    nxt = jnp.where(at_gn, ps, nxt)
+    even = 0.25 * prev + 0.75 * ps
+    odd = 0.75 * ps + 0.25 * nxt
+    yh = jnp.stack([even, odd], axis=2).reshape(b, 2 * m, w2, c)
+    prevw = jnp.concatenate([yh[:, :, :1], yh[:, :, :-1]], axis=2)
+    nxtw = jnp.concatenate([yh[:, :, 1:], yh[:, :, -1:]], axis=2)
+    evenw = 0.25 * prevw + 0.75 * yh
+    oddw = 0.75 * yh + 0.25 * nxtw
+    return jnp.stack([evenw, oddw], axis=3).reshape(b, 2 * m, 2 * w2, c)
 
 
 def _perceive_h_padded(xp: jnp.ndarray, pad_mode_w: str) -> jnp.ndarray:
@@ -75,10 +119,28 @@ def spatial_rollout(
     x: [B, H, W, C] (H divisible by the axis size); cond: optional
     [B, H, W, c_cond]. Returns (state, rgb) with the same sharding.
     """
-    assert tuple(cfg.perception_scales) == (0,), (
-        "spatial sharding supports single-scale perception"
+    scales = tuple(cfg.perception_scales)
+    assert scales in ((0,), (0, 1)), (
+        "spatial sharding supports perception_scales (0,) or (0, 1)"
     )
+    ms = scales == (0, 1)
+    if ms:
+        assert cfg.padding_mode == "circular", (
+            "multi-scale spatial sharding requires circular padding "
+            "(replicate/zeros would need half-res edge semantics)"
+        )
     n = mesh.shape[axis]
+    # halo rows per side: 1 for the 3x3 stencil; 6 for the multiscale
+    # stencil's full-res reach (even, so the 2x2 downsample cells of the
+    # haloed slab stay aligned to global even rows).
+    hb = 6 if ms else 1
+    hl = x.shape[1] // n
+    assert x.shape[1] % n == 0, "H must divide the space axis"
+    if ms:
+        assert hl % 2 == 0, "multi-scale sharding needs an even local slab"
+        assert hl >= hb, (
+            f"local slab ({hl} rows) must cover the {hb}-row halo"
+        )
     perm_up = [(i, (i + 1) % n) for i in range(n)]  # receive prev device's bottom row
     perm_down = [((i + 1) % n, i) for i in range(n)]  # receive next device's top row
 
@@ -92,8 +154,8 @@ def spatial_rollout(
         idx = jax.lax.axis_index(axis)
 
         def one_step(x_local, sub):
-            top_own = x_local[:, :1]
-            bot_own = x_local[:, -1:]
+            top_own = x_local[:, :hb]
+            bot_own = x_local[:, -hb:]
             halo_top = jax.lax.ppermute(bot_own, axis, perm_up)
             halo_bot = jax.lax.ppermute(top_own, axis, perm_down)
 
@@ -108,7 +170,31 @@ def spatial_rollout(
             # 'circular': the ring permutation IS the wrap pad.
 
             xp = jnp.concatenate([halo_top, x_local, halo_bot], axis=1)
-            y = _perceive_h_padded(xp, cfg.padding_mode)
+            if ms:
+                # Multiscale percept on the haloed slab: scale 0 and the
+                # half-res stencil read real (exchanged) neighbor rows —
+                # their slab-local wrap pollution stays inside the halo —
+                # while the 2x upsample applies the global-boundary clamp
+                # explicitly (the halo contains the true wrap rows, but
+                # the dense resize clamps at the grid edge; see
+                # _up2x_global_clamp).
+                from vsnca_tpu.ops.perception import perceive
+                from vsnca_tpu.ops.resize import resize_bilinear
+
+                hs = xp.shape[1]
+                w = xp.shape[2]
+                # _perceive_h_padded consumes a 1-row halo: its row 0 is
+                # xp row 1, so the center crop starts at hb - 1.
+                y0 = _perceive_h_padded(xp, "circular")[
+                    :, hb - 1 : hb - 1 + x_local.shape[1]
+                ]
+                x_half = resize_bilinear(xp, (hs // 2, w // 2))
+                ps = perceive(x_half, "circular")
+                q0 = idx * (hl // 2) - hb // 2
+                up = _up2x_global_clamp(ps, q0, (hl * n) // 2)
+                y = 0.5 * (y0 + up[:, hb:-hb])
+            else:
+                y = _perceive_h_padded(xp, cfg.padding_mode)
             if cond_local is not None:
                 y = jnp.concatenate([y, cond_local], axis=-1)
             h = jax.nn.relu(
