@@ -451,16 +451,26 @@ def main():
         iters = max(int(default_iters * args.scale), 10)
         out_dir = os.path.join(args.out_root, name)
         print(f"\n===== {name}: {iters} iterations -> {out_dir}", flush=True)
-        try:
-            results[name] = fn(out_dir, iters)
-            print(f"===== {name} OK: {json.dumps(results[name])[:400]}",
-                  flush=True)
-        except Exception as e:
-            traceback.print_exc()
-            results[name] = {"error": repr(e)}
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(out_dir, "summary.json"), "w") as f:
-                json.dump(results[name], f)
+        # one retry per preset: the axon remote-compile helper transiently
+        # drops connections ("response body closed before all bytes were
+        # read"); the second attempt usually resumes from the persistent
+        # compilation cache.
+        for attempt in (1, 2):
+            try:
+                results[name] = fn(out_dir, iters)
+                print(f"===== {name} OK: {json.dumps(results[name])[:400]}",
+                      flush=True)
+                break
+            except Exception as e:
+                traceback.print_exc()
+                results[name] = {"error": repr(e), "attempt": attempt}
+                os.makedirs(out_dir, exist_ok=True)
+                with open(os.path.join(out_dir, "summary.json"), "w") as f:
+                    json.dump(results[name], f)
+                if attempt == 1:
+                    print(f"===== {name} attempt 1 failed; retrying",
+                          flush=True)
+                    time.sleep(30)
     with open(os.path.join(args.out_root, "all_runs.json"), "w") as f:
         json.dump(results, f, indent=2)
     print("\nALL DONE", json.dumps({k: ("ok" if "error" not in v else "ERR")

@@ -133,6 +133,7 @@ def test_trainer_dp_mesh_matches_single_device():
     train_cfg = TrainConfig(img_size=(16, 16), batch_size=n, pool_size=8,
                             step_range=(3, 4), step_buckets=(3,),
                             max_iterations=3, remat="none",
+                            inject_seed_every=1,  # ONE jit program/trainer
                             rollout_path="xla")
     vgg = vgg16_random_init(jax.random.PRNGKey(0))
     style = jnp.asarray(
@@ -193,6 +194,7 @@ def test_trainer_dp_mesh_tap_schedule_matches_single_device():
     train_cfg = TrainConfig(img_size=(16, 16), batch_size=n, pool_size=8,
                             step_range=(9, 10), step_buckets=(9,),
                             max_iterations=2, remat="none",
+                            inject_seed_every=1,  # ONE jit program/trainer
                             rollout_path="xla")
     from vsnca_tpu.models.dynca import tap_schedule
     from vsnca_tpu.models.msoe import msoe_random_init
@@ -328,6 +330,7 @@ def test_trainer_dp_mesh_fused_matches_single_device():
     train_cfg = TrainConfig(img_size=(16, 128), batch_size=n, pool_size=8,
                             step_range=(4, 5), step_buckets=(4,),
                             max_iterations=2, remat="none",
+                            inject_seed_every=1,  # ONE jit program/trainer
                             rollout_path="fused")
     vgg = vgg16_random_init(jax.random.PRNGKey(0))
     style = jnp.asarray(

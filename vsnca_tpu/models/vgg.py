@@ -45,17 +45,28 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def vgg16_random_init(key: jax.Array, dtype=jnp.float32) -> List[dict]:
-    """Deterministic fallback weights (torch-default kaiming-uniform bounds)."""
+    """Deterministic fallback weights, He-normal (std = sqrt(2/fan_in)).
+
+    NOT torch's default kaiming-uniform-with-a=sqrt(5): that scheme shrinks
+    ReLU activations ~3x per conv, so 13 layers deep the content tap
+    (conv4_2) collapses to ~1e-2 magnitudes and the content / deep-style
+    losses carry no usable signal under the fallback (measured: content
+    MSE between a photo and a black frame was 6e-7 — the round-4 encoder
+    artifact run trained with an effectively dead content term). He-normal
+    is variance-preserving through conv+ReLU, keeping every tap O(1), so
+    the no-pretrained-weights path still optimizes meaningfully. Pretrained
+    conversions (scripts/convert_vgg16.py) are unaffected.
+    """
     params = []
     c_in = 3
     for i, (c_out, _) in enumerate(VGG16_CONVS):
         kw, kb, key = jax.random.split(key, 3)
         fan_in = c_in * 9
-        bound = 1.0 / math.sqrt(fan_in)
+        std = math.sqrt(2.0 / fan_in)
         params.append(
             {
-                "w": jax.random.uniform(kw, (3, 3, c_in, c_out), dtype, -bound, bound),
-                "b": jax.random.uniform(kb, (c_out,), dtype, -bound, bound),
+                "w": std * jax.random.normal(kw, (3, 3, c_in, c_out), dtype),
+                "b": jnp.zeros((c_out,), dtype),
             }
         )
         c_in = c_out

@@ -50,7 +50,7 @@ def fused_rollout_train_flat_dp(
     Same returns as the wrapped call: (state, rgb) or, with ``tap_steps``,
     (state, rgb, [tap rgbs]). Batch must divide the mesh axis size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from vsnca_tpu.ops.pallas_train import fused_rollout_train_flat
@@ -83,7 +83,7 @@ def fused_rollout_train_flat_dp(
             body_nocond, mesh=mesh,
             in_specs=(P(), P(axis), P()),
             out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,  # pallas_call outputs carry no vma info
         )(params, x_nhwc, jnp.asarray(seed_f, jnp.float32))
 
     # conditioning is per-batch ([B, H, W, c_cond] — make_conditioning
@@ -95,5 +95,5 @@ def fused_rollout_train_flat_dp(
         body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,  # pallas_call outputs carry no vma info
     )(params, x_nhwc, cond_nhwc, jnp.asarray(seed_f, jnp.float32))
