@@ -1276,8 +1276,15 @@ def _make_bwd_kernel_flat_tiled(
     compute_dtype,
     need_dcond: bool = True,
     tap_steps: Tuple[int, ...] = (),
+    ablate: frozenset = frozenset(),
 ):
     """Fori-over-tiles scatter backward with TILED [n_tiles, cp, n] buffers.
+
+    ``ablate`` (PROFILING ONLY — outputs become wrong): Python-staged stage
+    removal for per-stage hardware timing. Members: ``"dw"`` drops the
+    weight-gradient accumulations, ``"adj"`` drops the adjoint
+    compute+scatter, ``"gp"`` additionally drops the gp matmul.
+    ``"gp"`` requires ``"adj"`` (the adjoint consumes gp).
 
     The unrolled flat backwards hit Mosaic's scoped-vmem stack wall at 256²:
     the stack allocator does not reuse temporaries across unrolled tile
@@ -1293,6 +1300,7 @@ def _make_bwd_kernel_flat_tiled(
     tile arithmetic. This is the path that puts the flagship 256² training
     presets (BASELINE configs 2-4; reference hot loop
     ConditioneDyNCA/experiments.py:226) on the fused custom-VJP pair."""
+    assert "gp" not in ablate or "adj" in ablate, "gp ablation implies adj"
     f = cfg.fc_dim
     thr = _uniform_threshold(cfg.update_rate)
     n = tile_rows * w
@@ -1521,54 +1529,58 @@ def _make_bwd_kernel_flat_tiled(
                             preferred_element_type=jnp.float32),
                     0.0,
                 ).astype(compute_dtype)
-                gp = jax.lax.dot_general(
-                    w1_ref[:], gz1,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [P, n]
-                if dcondt_ref is not None:
-                    dcondt_ref[0, t] += gp[4 * cp :]
-                dw1t_ref[0] += jax.lax.dot_general(
-                    gz1, percept, dimension_numbers=dn_nn,
-                    preferred_element_type=jnp.float32,
-                )
-                db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
-                dw2t_ref[0] += jax.lax.dot_general(
-                    gdx, hid, dimension_numbers=dn_nn,
-                    preferred_element_type=jnp.float32,
-                )
-                db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
+                if "gp" not in ablate:
+                    gp = jax.lax.dot_general(
+                        w1_ref[:], gz1,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [P, n]
+                    if dcondt_ref is not None and "dw" not in ablate:
+                        dcondt_ref[0, t] += gp[4 * cp :]
+                if "dw" not in ablate:
+                    dw1t_ref[0] += jax.lax.dot_general(
+                        gz1, percept, dimension_numbers=dn_nn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    db1_ref[0, 0] += jnp.sum(gz1, axis=1, dtype=jnp.float32)
+                    dw2t_ref[0] += jax.lax.dot_general(
+                        gdx, hid, dimension_numbers=dn_nn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    db2_ref[0, 0] += jnp.sum(gdx, axis=1, dtype=jnp.float32)
 
-                # Delayed scatter: tile t-1's adjoint lands AFTER this
-                # tile's pass-1 read of its (overlapping) first rows; tile
-                # 0's top-wrap chunk (last tile's rows — its pass-1 runs
-                # last) parks in adj_ref's spare last ew lanes.
-                @pl.when(t > 0)
-                def _():
-                    j = t - 1
-                    adj = adj_ref[:, : n + 2 * ew]
-                    gxt_ref[j] += adj[:, ew : ew + n]
-                    gxt_ref[t, :, : ew] += adj[:, n + ew :]
-
-                    @pl.when(j == 0)
+                if "adj" not in ablate:
+                    # Delayed scatter: tile t-1's adjoint lands AFTER this
+                    # tile's pass-1 read of its (overlapping) first rows;
+                    # tile 0's top-wrap chunk (last tile's rows — its pass-1
+                    # runs last) parks in adj_ref's spare last ew lanes.
+                    @pl.when(t > 0)
                     def _():
-                        adj_ref[:, n + 2 * ew :] = adj[:, : ew]
+                        j = t - 1
+                        adj = adj_ref[:, : n + 2 * ew]
+                        gxt_ref[j] += adj[:, ew : ew + n]
+                        gxt_ref[t, :, : ew] += adj[:, n + ew :]
 
-                    @pl.when(j > 0)
-                    def _():
-                        gxt_ref[j - 1, :, n - ew :] += adj[:, : ew]
+                        @pl.when(j == 0)
+                        def _():
+                            adj_ref[:, n + 2 * ew :] = adj[:, : ew]
 
-                adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t, msk)
+                        @pl.when(j > 0)
+                        def _():
+                            gxt_ref[j - 1, :, n - ew :] += adj[:, : ew]
+
+                    adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t, msk)
                 return carry
 
             jax.lax.fori_loop(0, n_tiles, tile_body, 0)
-            # Final scatter: the last tile's adjoint, then the parked chunk.
-            jlast = n_tiles - 1
-            adj = adj_ref[:, : n + 2 * ew]
-            gxt_ref[jlast] += adj[:, ew : ew + n]
-            gxt_ref[0, :, : ew] += adj[:, n + ew :]
-            gxt_ref[jlast - 1, :, n - ew :] += adj[:, : ew]
-            gxt_ref[jlast, :, n - ew :] += adj_ref[:, n + 2 * ew :]
+            if "adj" not in ablate:
+                # Final scatter: last tile's adjoint, then the parked chunk.
+                jlast = n_tiles - 1
+                adj = adj_ref[:, : n + 2 * ew]
+                gxt_ref[jlast] += adj[:, ew : ew + n]
+                gxt_ref[0, :, : ew] += adj[:, n + ew :]
+                gxt_ref[jlast - 1, :, n - ew :] += adj[:, : ew]
+                gxt_ref[jlast, :, n - ew :] += adj_ref[:, n + 2 * ew :]
 
         def per_segment(si, carry):
             s = n_segments - 1 - si
@@ -2222,7 +2234,8 @@ def _untile4(a):
 
 def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
                          segment, compute_dtype, interpret, h, w, tile_rows,
-                         need_dcond, gtaps=None, tap_steps=()):
+                         need_dcond, gtaps=None, tap_steps=(),
+                         ablate=frozenset()):
     """Backward dispatch for the fori-over-tiles kernel: cond rides in (and
     dx0/dcond come out) in the tiled [n_tiles, cp, n] layout; checkpoints
     and gy stay flat in HBM (the kernel retiles them with per-tile
@@ -2237,6 +2250,7 @@ def _bwd_call_flat_tiled(params, ckpt, condf, seed_i32, gy, cfg, n_steps,
     kernel = _make_bwd_kernel_flat_tiled(
         cfg, h, w, n_steps, segment, tile_rows, cp, ccp,
         jnp.dtype(compute_dtype), need_dcond, tuple(tap_steps),
+        frozenset(ablate),
     )
     w1t, b1, w2t, b2 = _flat_pad_weights(params, c, cp, cc, ccp, compute_dtype)
     w1p = w1t.T

@@ -622,13 +622,24 @@ class DyNCATrainer:
 
         self.iteration += 1
         if sync:
-            loss_f = float(loss)
+            # ONE blocking host fetch for loss + every log term: each
+            # float(device_scalar) is a separate tunnel round-trip on the
+            # axon backend (~1-5 ms each), so per-term fetches put 10-25 ms
+            # of pure latency in every synced iteration.
+            names = sorted(logs)
+            vec = np.asarray(
+                jnp.stack(
+                    [jnp.asarray(loss, jnp.float32)]
+                    + [jnp.asarray(logs[k], jnp.float32) for k in names]
+                )
+            )
+            loss_f = float(vec[0])
             if not np.isfinite(loss_f):
                 raise FloatingPointError(
                     f"Loss is NaN/Inf at iteration {i}; training aborted "
                     "(reference behavior: train_failed.txt + exit)"
                 )
-            log = TrainLog(i, loss_f, {k: float(v) for k, v in logs.items()})
+            log = TrainLog(i, loss_f, dict(zip(names, map(float, vec[1:]))))
             self.history.append(log)
             return log
         return TrainLog(i, loss, logs)
