@@ -359,6 +359,7 @@ def run_edge_conditioned(out_dir, iters):
 
 
 def run_encoder(out_dir, iters):
+    import jax
     import jax.numpy as jnp
 
     from vsnca_tpu.config import ConditionedNCAConfig
@@ -377,21 +378,35 @@ def run_encoder(out_dir, iters):
         cfg, dataset, style, vgg, nca_steps=(48, 96), step_buckets=(64, 96),
         pool_size=1024, appearance_loss_type="OT",
         appearance_weight=1.0, content_weight=0.1, overflow_weight=1.0,
+        # Alive-masked NCAs can fall into the absorbing all-dead attractor
+        # (observed twice in r4 hardware runs: loss plateaus at the
+        # style-vs-black constant, grown goals go blank); the trainer's
+        # collapse recovery restores the best params + reseeds the pool
+        # after 50 consecutive epochs above 3x the best loss.
+        recovery_patience=50, recovery_factor=3.0,
     )
     log = RunLog(out_dir)
     for i in range(iters):
         loss, metrics = trainer.train_iteration(batch_size=8)
-        if i % 25 == 0 or i == iters - 1:
+        if i % 25 == 0 or i == iters - 1 or metrics.get("recovered"):
             log.log(i, loss, {k: v for k, v in metrics.items()
                               if k != "log10loss"})
 
     goals = dataset.images[: min(4, dataset.images.shape[0])]
     grown = np.asarray(trainer.grow_preview(goals, num_steps=96))
     save_image_grid(grown, os.path.join(out_dir, "grown_goals.png"))
+    final_params = trainer.params
+    trainer.params = jax.tree_util.tree_map(jnp.asarray, trainer._best_params)
+    grown_best = np.asarray(trainer.grow_preview(goals, num_steps=96))
+    trainer.params = final_params
+    save_image_grid(grown_best, os.path.join(out_dir, "grown_goals_best.png"))
     save_image_grid(np.asarray(goals),
                     os.path.join(out_dir, "goal_images.png"))
     return log.finish(preset="encoder", style_image=STYLE_IMG2,
-                      image_dir=TARGET_DIR, image_size=s)
+                      image_dir=TARGET_DIR, image_size=s,
+                      best_loss_iteration=trainer.best_iteration,
+                      best_loss=trainer.best_loss,
+                      recoveries=trainer.recoveries)
 
 
 RUNNERS = {

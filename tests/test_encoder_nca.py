@@ -183,3 +183,32 @@ def test_host_dead_check_matches_device_alive_mask():
             float(jnp.sum(alive_mask(jnp.asarray(entry)[None], cfg))) == 0.0
         )
         assert tr._is_dead(entry) == device_dead
+
+
+def test_collapse_recovery_restores_best_and_reseeds_pool():
+    """recovery_patience epochs above recovery_factor x best -> params
+    restored from the best snapshot, pool reseeded, optimizer reset."""
+    tr = _tiny_trainer()
+    tr.recovery_patience = 2
+    tr.recovery_factor = 1.0  # any non-improving epoch counts as plateau
+    tr.train_iteration(batch_size=4, num_steps=4)
+    assert tr.best_iteration == 1 and tr._best_params is not None
+    best = tr._best_params
+    # Force an unbeatable best so subsequent epochs always plateau.
+    tr.best_loss = 0.0
+    tr.train_iteration(batch_size=4, num_steps=4)
+    assert tr._plateau == 1 and not tr.recoveries
+    loss, metrics = tr.train_iteration(batch_size=4, num_steps=4)
+    assert metrics.get("recovered") == 1.0
+    assert len(tr.recoveries) == 1
+    assert all(e is None for e in tr.pool.entries)  # pool reseeded
+    flat_now = jax.tree_util.tree_leaves(tr.params)
+    flat_best = jax.tree_util.tree_leaves(best)
+    for a, b in zip(flat_now, flat_best):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alive_frac_metric_logged():
+    tr = _tiny_trainer()
+    _, metrics = tr.train_iteration(batch_size=4, num_steps=4)
+    assert 0.0 <= metrics["alive_frac"] <= 1.0

@@ -135,6 +135,8 @@ class ConditionedNCATrainer:
         content_weight: float = 1.0,
         overflow_weight: float = 1.0,
         seed: int = 0,
+        recovery_patience: int = 0,
+        recovery_factor: float = 3.0,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -166,6 +168,23 @@ class ConditionedNCATrainer:
         self.iteration = 0
         self.history = []
 
+        # Collapse recovery (framework aux, SURVEY 5.3 analogue): alive-
+        # masked NCAs have an absorbing all-dead attractor (every cell's
+        # alpha under the living threshold -> black output, constant loss,
+        # ~zero gradient). The reference has no defense (it trains 100k
+        # epochs and ships whichever checkpoint worked); here, when the loss
+        # stays above recovery_factor x best for recovery_patience
+        # consecutive epochs, training restores the best-loss params,
+        # reseeds the WHOLE pool, and resets the optimizer state. Disabled
+        # when recovery_patience == 0.
+        self.recovery_patience = recovery_patience
+        self.recovery_factor = recovery_factor
+        self.best_loss = float("inf")
+        self.best_iteration = -1
+        self._best_params = None
+        self._plateau = 0
+        self.recoveries = []
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -191,6 +210,16 @@ class ConditionedNCATrainer:
                 (loss, (grown, logs)), grads = jax.value_and_grad(
                     objective, has_aux=True
                 )(params)
+                if cfg.use_living_channel:
+                    # Collapse diagnostic: fraction of cells above the
+                    # living threshold after growth (free to log — the
+                    # scalar rides the existing single-fetch stack).
+                    logs["alive_frac"] = jnp.mean(
+                        (
+                            grown[..., cfg.alive_channel]
+                            > cfg.alpha_living_threshold
+                        ).astype(jnp.float32)
+                    )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, grown, loss, logs
@@ -255,16 +284,52 @@ class ConditionedNCATrainer:
             self.params, self.opt_state, outputs, targets, self._next_key()
         )
 
-        loss_f = float(loss)
+        # One blocking fetch for loss + all metric scalars (per-term float()
+        # is one tunnel round-trip each on the axon backend).
+        names = sorted(logs)
+        vec = np.asarray(
+            jnp.stack(
+                [jnp.asarray(loss, jnp.float32)]
+                + [jnp.asarray(logs[k], jnp.float32) for k in names]
+            )
+        )
+        loss_f = float(vec[0])
         if not np.isfinite(loss_f):
             raise FloatingPointError(f"loss NaN/Inf at epoch {self.iteration}")
 
         self.pool.set(idxs, np.asarray(outputs))
-        metrics = {k: float(v) for k, v in logs.items()}
+        metrics = dict(zip(names, map(float, vec[1:])))
         metrics["log10loss"] = math.log10(loss_f + 1e-5)
         self.iteration += 1
+
+        if loss_f < self.best_loss:
+            self.best_loss = loss_f
+            self.best_iteration = self.iteration
+            self._plateau = 0
+            # Host snapshot (the params are ~10^4-10^5 floats; one fetch).
+            self._best_params = jax.tree_util.tree_map(np.asarray, self.params)
+        elif self.recovery_patience and loss_f > self.recovery_factor * self.best_loss:
+            self._plateau += 1
+            if self._plateau >= self.recovery_patience:
+                self.recover()
+                metrics["recovered"] = 1.0
+        else:
+            self._plateau = 0
+
         self.history.append((self.iteration, loss_f, metrics))
         return loss_f, metrics
+
+    def recover(self):
+        """Restore the best-loss params, reseed the whole pool, reset the
+        optimizer state — escape from the absorbing all-dead attractor (see
+        ctor note). No-op if no best snapshot exists yet."""
+        if self._best_params is None:
+            return
+        self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.pool = ListPool(len(self.pool))
+        self._plateau = 0
+        self.recoveries.append((self.iteration, self.best_iteration, self.best_loss))
 
     def grow_preview(self, goal_images: jnp.ndarray, num_steps: int = 96):
         """Grow fresh seeds toward goals; returns RGB in [0, 1] (clamped)."""
