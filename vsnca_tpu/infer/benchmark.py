@@ -229,6 +229,7 @@ def benchmark_train_step(
     rollout_path: Optional[str] = None,
     precompute_targets: bool = False,
     reference_shape: bool = True,
+    loss_overrides: Optional[dict] = None,
 ) -> Dict[str, float]:
     """Benchmark one full training iteration (rollout + loss + backward +
     update) for a preset config. Presets with a video-motion term get a
@@ -240,7 +241,12 @@ def benchmark_train_step(
     ``rollout_path`` overrides TrainConfig.rollout_path (auto|xla|fused).
     ``precompute_targets`` hoists the constant target-side VGG/MSOE features
     out of the iteration (the production-path optimization the CLI and
-    VideoMotionProtocol use)."""
+    VideoMotionProtocol use). ``loss_overrides``: dataclasses.replace
+    overrides on the preset's LossConfig (e.g. {'video_motion_weight': 0})
+    — for marginal per-term cost measurement at the full-iteration level
+    (isolated per-term micro-benches mis-measure on this platform: separate
+    dispatches add the ~28 ms floor, and any non-scalar fetch rides the
+    ~13 MB/s tunnel)."""
     import dataclasses
 
     from vsnca_tpu.data.preprocess import synthetic_style_image
@@ -253,6 +259,8 @@ def benchmark_train_step(
     nca_cfg, loss_cfg, train_cfg = PRESETS[preset](**preset_kw)
     if rollout_path is not None:
         train_cfg = dataclasses.replace(train_cfg, rollout_path=rollout_path)
+    if loss_overrides:
+        loss_cfg = dataclasses.replace(loss_cfg, **loss_overrides)
     vgg, _ = load_vgg16()
     msoe = None
     if loss_cfg.vector_field_motion_weight or loss_cfg.video_motion_weight:
