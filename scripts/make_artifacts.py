@@ -486,8 +486,19 @@ def main():
                     print(f"===== {name} attempt 1 failed; retrying",
                           flush=True)
                     time.sleep(30)
-    with open(os.path.join(args.out_root, "all_runs.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    # Merge into any existing aggregate so a single-preset rerun doesn't
+    # drop the other presets' entries.
+    agg_path = os.path.join(args.out_root, "all_runs.json")
+    merged = {}
+    if os.path.exists(agg_path):
+        try:
+            with open(agg_path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
+    with open(agg_path, "w") as f:
+        json.dump(merged, f, indent=2)
     print("\nALL DONE", json.dumps({k: ("ok" if "error" not in v else "ERR")
                                     for k, v in results.items()}))
 

@@ -42,9 +42,18 @@ def timeit(fn, iters=8, warmup=2):
 ABLATIONS = [
     frozenset(),
     frozenset({"dw"}),
+    frozenset({"dw", "adjc"}),  # adj compute zeroed, scatter kept
     frozenset({"dw", "adj"}),
     frozenset({"dw", "adj", "gp"}),
-    frozenset({"adj"}),  # gp kept live only via dw accums? no — dcond; DCE probe
+    # in-adjoint stage stubs (ms only): marginal cost of each transpose
+    # stage measured INSIDE the production kernel (register pressure and
+    # pipelining effects included — the isolated micro-bench showed the
+    # same stages nearly free out of context, scripts/bench_adj_micro.py)
+    frozenset({"dw", "adj_ut"}),
+    frozenset({"dw", "adj_st"}),
+    frozenset({"dw", "adj_dt"}),
+    frozenset({"dw", "adj_sc0"}),
+    frozenset({"dw", "adj_ut", "adj_st", "adj_dt", "adj_sc0"}),
 ]
 
 
@@ -57,10 +66,13 @@ def profile_shape(label, nca_cfg, b, size, steps, cond_img=None):
         plan_flat_train,
     )
 
-    plan = plan_flat_train(nca_cfg, size, size, steps, need_dcond=False,
-                           force_mode="tiled")
-    assert plan is not None, f"no tiled plan for {label}"
+    plan = plan_flat_train(nca_cfg, size, size, steps, need_dcond=False)
+    assert plan is not None, f"no flat plan for {label}"
     segment, mode, tile_rows = plan
+    if mode != "tiled":
+        print(f"[{label}] auto plan is mode={mode}, not tiled — the ablate "
+              "hook only instruments the tiled backward; skipping", flush=True)
+        return {}
     compute_dtype = "float32"
     print(f"[{label}] plan: mode={mode} segment={segment} "
           f"tile_rows={tile_rows}", flush=True)
@@ -102,9 +114,13 @@ def profile_shape(label, nca_cfg, b, size, steps, cond_img=None):
         no_dw = results["dw"]
         no_dw_adj = results["adj+dw"]
         base = results["adj+dw+gp"]
+        adjsplit = ""
+        if "adjc+dw" in results:
+            adjsplit = (f" [adj compute {1000*(no_dw-results['adjc+dw']):.1f}"
+                        f" + scatter {1000*(results['adjc+dw']-no_dw_adj):.1f}]")
         print(f"[{label}] SPLIT: recompute+misc {1000*base:.1f} ms | "
               f"gp {1000*(no_dw_adj-base):.1f} | "
-              f"adj {1000*(no_dw-no_dw_adj):.1f} | "
+              f"adj {1000*(no_dw-no_dw_adj):.1f}{adjsplit} | "
               f"dw/db {1000*(full-no_dw):.1f} | total {1000*full:.1f}",
               flush=True)
     return results
@@ -127,9 +143,12 @@ def main():
     vm_cfg, _, _ = PRESETS["video_motion"]()
     profile_shape("256ms_c16_b3", vm_cfg, 3, 256, 64)
 
-    edge_cfg, _, _ = PRESETS["edge_conditioned"]()
-    cond_img = jax.random.uniform(jax.random.PRNGKey(9), (2, 256, 256, 1))
-    profile_shape("256_c12_b2", edge_cfg, 2, 256, 64, cond_img=cond_img)
+    # NOTE: the edge c12+cond 256² shape is excluded: the direct
+    # _fwd_call_flat wrapper OOMs scoped vmem by 57 KB on the current
+    # compiler even though the production train-step program (same plan)
+    # compiles and runs (verified: benchmark_train_step edge fused
+    # 15.0 it/s) — profile that shape through benchmark_train_step
+    # loss_overrides instead.
 
 
 if __name__ == "__main__":

@@ -182,7 +182,8 @@ def _tiled_band(tile_slice, t, n_tiles: int, tile_rows: int, w: int,
     return jnp.concatenate(parts, axis=1)
 
 
-def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
+def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int,
+                         stages: frozenset = frozenset()):
     """State cotangent of ``_flat_percept_ms``'s percept: from gp [4cp, n]
     (cotangent of the 4 stencil blocks at tile-interior positions) produce
     the band [cp, n + 8w] of contributions to x at global rows
@@ -202,7 +203,24 @@ def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
     edges (trace-time asserts). Masks are always viewed at the ABSOLUTE
     window of the array they gate, which preserves the transpose's
     mask-at-source semantics. Blocks ride ONE [4cp, *] chain through U^T
-    (the per-block form re-ran it 4x)."""
+    (the per-block form re-ran it 4x).
+
+    ``stages`` (PROFILING ONLY — outputs become wrong): stub one transpose
+    stage for in-kernel marginal timing, members 'ut' (U^T ladder), 'st'
+    (half-res stencil transpose), 'dt' (D^T), 'sc0' (scale-0 transpose).
+
+    MEASURED NEGATIVE (r4, do not retry): replacing the two zero-pad
+    concats (gpad/gsw below) with persistent VMEM scratch refs whose pads
+    are zeroed once in the kernel prologue — per call only the support
+    center stored, every view a ref load — made the 64-step 256²-ms
+    backward ~9 ms SLOWER (72.7 -> 81.4 ms; adj share 32.9 -> 42.0,
+    /tmp/ablate_hw3 vs hw5, scripts/profile_bwd_ablate.py). Value concats
+    stay in Mosaic's register/stack world where slices fold into
+    consumers; ref slice reads are real VMEM round-trips on every view.
+    The stage probes bound the remaining win: the four transpose stages
+    total ~14.7 ms of the 32.9 ms adjoint; the ~18 ms skeleton is the
+    concat materializations themselves, and the scratch-ref form pays
+    MORE, not less."""
     hb = _MS_HALO
     nb = n + 2 * hb * w
     f32 = jnp.float32
@@ -233,122 +251,138 @@ def _flat_percept_ms_adj(gp, msk, cp: int, n: int, w: int):
         [zeros(4 * cp, hb), gp.astype(f32), zeros(4 * cp, hb)], axis=1
     )
 
+    def gv(r0, r1, off, L):
+        return gpad[r0:r1, off : off + L]
+
     # ---- U_H^T (row part; pure views) ---------------------------------
     # guw[a] = 0.75 ge[a] + 0.25[grow0 a] ge[a] + 0.25[~grow0 a+2w] ge[a+2w]
     #        + (0.75 + 0.25[growlast a+w]) go[a+w] + 0.25[~growlast a-w] go[a-w]
     F1o, F1L = 4 * w, n + 4 * w          # guw/gs frame
-    geo, geL = 4 * w, n + 6 * w          # ge window [4w, n+10w)
-    goo, goL = 3 * w, n + 6 * w          # go window [3w, n+9w)
-    g_ge = fv(gpad, 0, geo, geL)
-    ge = mw(mv("even_row", geo, geL), g_ge)
-    g_go = fv(gpad, 0, goo, goL)
-    go = g_go - mw(mv("even_row", goo, goL), g_go)
-    t1 = 0.75 * ge + 0.25 * mw(mv("grow0", geo, geL), ge)
-    t2 = 0.25 * mw(~mv("grow0", geo, geL), ge)
-    t3 = 0.75 * go + 0.25 * mw(mv("growlast", goo, goL), go)
-    t4 = 0.25 * mw(~mv("growlast", goo, goL), go)
-    guw = (
-        fv(t1, geo, F1o, F1L)
-        + fv(t2, geo, F1o + 2 * w, F1L)
-        + fv(t3, goo, F1o + w, F1L)
-        + fv(t4, goo, F1o - w, F1L)
-    )
+    if "ut" in stages:
+        gs = gv(0, 4 * cp, F1o, F1L)
+    else:
+        geo, geL = 4 * w, n + 6 * w          # ge window [4w, n+10w)
+        goo, goL = 3 * w, n + 6 * w          # go window [3w, n+9w)
+        g_ge = gv(0, 4 * cp, geo, geL)
+        ge = mw(mv("even_row", geo, geL), g_ge)
+        g_go = gv(0, 4 * cp, goo, goL)
+        go = g_go - mw(mv("even_row", goo, goL), g_go)
+        t1 = 0.75 * ge + 0.25 * mw(mv("grow0", geo, geL), ge)
+        t2 = 0.25 * mw(~mv("grow0", geo, geL), ge)
+        t3 = 0.75 * go + 0.25 * mw(mv("growlast", goo, goL), go)
+        t4 = 0.25 * mw(~mv("growlast", goo, goL), go)
+        guw = (
+            fv(t1, geo, F1o, F1L)
+            + fv(t2, geo, F1o + 2 * w, F1L)
+            + fv(t3, goo, F1o + w, F1L)
+            + fv(t4, goo, F1o - w, F1L)
+        )
 
-    # ---- U_W^T (lane part; 3 rolls on the wide [4cp, n+4w] chain) ------
-    gec = mw(mv("even_col", F1o, F1L), guw)
-    goc = guw - gec
-    gs = (
-        0.75 * gec
-        + 0.25 * mw(mv("col0", F1o, F1L), gec)
-        + rl(0.25 * mw(~mv("col0", F1o, F1L), gec), 2)
-        + rl(0.75 * goc + 0.25 * mw(mv("colw1", F1o, F1L), goc), 1)
-        + rl(0.25 * mw(~mv("colw1", F1o, F1L), goc), -1)
-    )
-    # The +1/+2 rolls wrap gs's leading lanes into the support-free tail
-    # [n+7w, n+8w) — re-zero it (exact: guw's support ends at n+7w).
-    gs = mw(mv("f1_supp", 0, F1L), gs)
+        # ---- U_W^T (lane part; 3 rolls on the wide [4cp, n+4w] chain) --
+        gec = mw(mv("even_col", F1o, F1L), guw)
+        goc = guw - gec
+        gs = (
+            0.75 * gec
+            + 0.25 * mw(mv("col0", F1o, F1L), gec)
+            + rl(0.25 * mw(~mv("col0", F1o, F1L), gec), 2)
+            + rl(0.75 * goc + 0.25 * mw(mv("colw1", F1o, F1L), goc), 1)
+            + rl(0.25 * mw(~mv("colw1", F1o, F1L), goc), -1)
+        )
+        # The +1/+2 rolls wrap gs's leading lanes into the support-free
+        # tail [n+7w, n+8w) — re-zero it (exact: guw's support ends at
+        # n+7w).
+        gs = mw(mv("f1_supp", 0, F1L), gs)
 
     # Widen for the class/stencil/raw views below (pads are exact zeros:
     # gs's support lives in [4w, n+7w)). Frame (-w, n+13w) is the minimal
     # cover of every class/stencil view (bounds asserted below); at
     # tile_rows=8 the tighter frame is what keeps the tile body under the
     # 16 MB scoped-vmem limit.
+    gswo = -w
     gsw = jnp.concatenate(
         [zeros(4 * cp, 5), gs, zeros(4 * cp, 4)], axis=1
     )  # frame (-w, n+13w)
-    gswo = -w
+
+    def sv(r0, r1, off, L):
+        s = off - gswo
+        return gsw[r0:r1, s : s + L]
 
     # ---- S^T as a forward-style stencil: flipped kernel over classes ---
     # gd[x] = raw[x] + sum_{di,dj} Kf[di][dj] * cl_dj[x + 2(di-1)w], with
     # cl_0/cl_2 the -2/+2 lane classes under the half-res W-wrap (the
     # transpose of the forward's m0/m2 tap classes).
-    gst = gsw[cp:]  # stencil blocks [3cp, n+16w], frame gswo
-    r2m = rl(gst, -2)   # r2m[p] = gst[p-2]
-    r2p = rl(gst, 2)    # r2p[p] = gst[p+2]
-    Fco, FcL = 0, n + 11 * w
-    c0 = jnp.where(
-        mv("col_lt2", Fco, FcL),
-        fv(r2m, gswo, Fco + w, FcL),
-        fv(r2m, gswo, Fco, FcL),
-    )
-    c2 = jnp.where(
-        mv("col_gew2", Fco, FcL),
-        fv(r2p, gswo, Fco - w, FcL),
-        fv(r2p, gswo, Fco, FcL),
-    )
-    c1 = fv(gst, gswo, Fco, FcL)
-
     Fgo, FgL = 2 * w, n + 7 * w  # gd frame (support-exact: [2w, n+9w))
-    gd = fv(gsw[:cp], gswo, Fgo, FgL)  # raw block
-    for bi, K in ((0, SOBEL_X_F), (1, SOBEL_Y_F), (2, LAPLACIAN_F)):
-        for di in range(3):
-            for dj, cl in ((0, c0), (1, c1), (2, c2)):
-                co = K[di][dj]
-                if co:
-                    gd = gd + float(co) * fv(
-                        cl[bi * cp : (bi + 1) * cp], Fco,
-                        Fgo + 2 * (di - 1) * w, FgL,
-                    )
+    gd = sv(0, cp, Fgo, FgL)  # raw block
+    if "st" not in stages:
+        gst = sv(cp, 4 * cp, gswo, n + 13 * w)  # stencil blocks, frame gswo
+        r2m = rl(gst, -2)   # r2m[p] = gst[p-2]
+        r2p = rl(gst, 2)    # r2p[p] = gst[p+2]
+        Fco, FcL = 0, n + 11 * w
+        c0 = jnp.where(
+            mv("col_lt2", Fco, FcL),
+            fv(r2m, gswo, Fco + w, FcL),
+            fv(r2m, gswo, Fco, FcL),
+        )
+        c2 = jnp.where(
+            mv("col_gew2", Fco, FcL),
+            fv(r2p, gswo, Fco - w, FcL),
+            fv(r2p, gswo, Fco, FcL),
+        )
+        c1 = fv(gst, gswo, Fco, FcL)
+
+        for bi, K in ((0, SOBEL_X_F), (1, SOBEL_Y_F), (2, LAPLACIAN_F)):
+            for di in range(3):
+                for dj, cl in ((0, c0), (1, c1), (2, c2)):
+                    co = K[di][dj]
+                    if co:
+                        gd = gd + float(co) * fv(
+                            cl[bi * cp : (bi + 1) * cp], Fco,
+                            Fgo + 2 * (di - 1) * w, FgL,
+                        )
 
     # ---- D^T ----------------------------------------------------------
     gdw = jnp.concatenate([zeros(cp, 2), gd, zeros(cp, 1)], axis=1)
-    gdm1 = rl(gdw, -1)  # gdm1[p] = gd[p-1]
     Ao, AL = 2 * w, n + 8 * w  # output band frame
-    gx1 = 0.25 * (
-        fv(gdw, 0, Ao, AL) + fv(gdm1, 0, Ao, AL)
-        + fv(gdw, 0, Ao - w, AL) + fv(gdm1, 0, Ao - w, AL)
-    )
+    if "dt" in stages:
+        gx1 = fv(gdw, 0, Ao, AL)
+    else:
+        gdm1 = rl(gdw, -1)  # gdm1[p] = gd[p-1]
+        gx1 = 0.25 * (
+            fv(gdw, 0, Ao, AL) + fv(gdm1, 0, Ao, AL)
+            + fv(gdw, 0, Ao - w, AL) + fv(gdm1, 0, Ao - w, AL)
+        )
 
     # ---- scale-0 transpose (shared q-classes, flipped-row coefficients) -
     # gx0[x] = raw[x] + sum_{di,dj} K[2-di][dj] * q_dj[x + (di-1)w];
     # q0[p] = colw1(p) ? gb[p+1-w] : gb[p+1],
     # q2[p] = col0(p)  ? gb[p-1+w] : gb[p-1]   (full-res W-wrap).
-    gbs = gpad[cp:]  # [3cp, nb]
-    r1p = rl(gbs, 1)    # r1p[p] = gbs[p+1]
-    r1m = rl(gbs, -1)   # r1m[p] = gbs[p-1]
-    Fqo, FqL = w, n + 10 * w
-    q0 = jnp.where(
-        mv("colw1", Fqo, FqL),
-        fv(r1p, 0, Fqo - w, FqL),
-        fv(r1p, 0, Fqo, FqL),
-    )
-    q2 = jnp.where(
-        mv("col0", Fqo, FqL),
-        fv(r1m, 0, Fqo + w, FqL),
-        fv(r1m, 0, Fqo, FqL),
-    )
-    q1 = fv(gbs, 0, Fqo, FqL)
+    gx0 = gv(0, cp, Ao, AL)  # raw block
+    if "sc0" not in stages:
+        gbs = gv(cp, 4 * cp, 0, nb)  # [3cp, nb]
+        r1p = rl(gbs, 1)    # r1p[p] = gbs[p+1]
+        r1m = rl(gbs, -1)   # r1m[p] = gbs[p-1]
+        Fqo, FqL = w, n + 10 * w
+        q0 = jnp.where(
+            mv("colw1", Fqo, FqL),
+            fv(r1p, 0, Fqo - w, FqL),
+            fv(r1p, 0, Fqo, FqL),
+        )
+        q2 = jnp.where(
+            mv("col0", Fqo, FqL),
+            fv(r1m, 0, Fqo + w, FqL),
+            fv(r1m, 0, Fqo, FqL),
+        )
+        q1 = fv(gbs, 0, Fqo, FqL)
 
-    gx0 = fv(gpad[:cp], 0, Ao, AL)  # raw block
-    for bi, K in ((0, SOBEL_X), (1, SOBEL_Y), (2, LAPLACIAN)):
-        for di in range(3):
-            for dj, q in ((0, q0), (1, q1), (2, q2)):
-                co = K[2 - di][dj]
-                if co:
-                    gx0 = gx0 + float(co) * fv(
-                        q[bi * cp : (bi + 1) * cp], Fqo,
-                        Ao + (di - 1) * w, AL,
-                    )
+        for bi, K in ((0, SOBEL_X), (1, SOBEL_Y), (2, LAPLACIAN)):
+            for di in range(3):
+                for dj, q in ((0, q0), (1, q1), (2, q2)):
+                    co = K[2 - di][dj]
+                    if co:
+                        gx0 = gx0 + float(co) * fv(
+                            q[bi * cp : (bi + 1) * cp], Fqo,
+                            Ao + (di - 1) * w, AL,
+                        )
 
     return 0.5 * (gx0 + gx1)
 
@@ -1283,8 +1317,10 @@ def _make_bwd_kernel_flat_tiled(
     ``ablate`` (PROFILING ONLY — outputs become wrong): Python-staged stage
     removal for per-stage hardware timing. Members: ``"dw"`` drops the
     weight-gradient accumulations, ``"adj"`` drops the adjoint
-    compute+scatter, ``"gp"`` additionally drops the gp matmul.
-    ``"gp"`` requires ``"adj"`` (the adjoint consumes gp).
+    compute+scatter, ``"adjc"`` zeroes only the adjoint compute (scatter
+    dataflow kept — isolates adj_of vs the RMW scatters), ``"gp"``
+    additionally drops the gp matmul. ``"gp"`` requires ``"adj"`` (the
+    adjoint consumes gp).
 
     The unrolled flat backwards hit Mosaic's scoped-vmem stack wall at 256²:
     the stack allocator does not reuse temporaries across unrolled tile
@@ -1335,18 +1371,23 @@ def _make_bwd_kernel_flat_tiled(
     ):
         rest = list(rest)
         gtaps_ref = rest.pop(0) if tap_steps else None
+        # Scratch refs sit at the tail in _bwd_call_flat_tiled's
+        # scratch_shapes order: gx, states, adj, [cond_scr], dma_sem.
+        dma_sem = rest.pop()
+        cond_scr_ref = rest.pop() if has_cond else None
+        adj_ref = rest.pop()
+        states_ref = rest.pop()
+        gx_scr_ref = rest.pop()
         if has_cond and need_dcond:
             (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             dcondt_ref, gx_scr_ref, states_ref, adj_ref, cond_scr_ref,
-             dma_sem) = rest
+             dcondt_ref) = rest
         elif has_cond:
-            (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             gx_scr_ref, states_ref, adj_ref, cond_scr_ref, dma_sem) = rest
+            (condt_ref, dx0t_ref, dw1t_ref, db1_ref, dw2t_ref,
+             db2_ref) = rest
             dcondt_ref = None
         else:
-            (dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-             gx_scr_ref, states_ref, adj_ref, dma_sem) = rest
-            condt_ref = dcondt_ref = cond_scr_ref = None
+            dx0t_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref = rest
+            condt_ref = dcondt_ref = None
 
         bidx = pl.program_id(0)
 
@@ -1469,6 +1510,9 @@ def _make_bwd_kernel_flat_tiled(
                 return _flat_percept_ms_adj(
                     gp_tile, tile_masks(t) if msk is None else msk,
                     cp, n, w,
+                    stages=frozenset(
+                        s[4:] for s in ablate if s.startswith("adj_")
+                    ),
                 )
             z = jnp.zeros((4 * cp, 2 * w), gp_tile.dtype)
             gpb = jnp.concatenate([z, gp_tile, z], axis=1)  # [4cp, n+4w]
@@ -1569,7 +1613,14 @@ def _make_bwd_kernel_flat_tiled(
                         def _():
                             gxt_ref[j - 1, :, n - ew :] += adj[:, : ew]
 
-                    adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t, msk)
+                    if "adjc" in ablate:
+                        # Keep the scatter dataflow, zero the adjoint
+                        # compute: isolates adj_of vs the RMW scatters.
+                        adj_ref[:, : n + 2 * ew] = jnp.zeros(
+                            (cp, n + 2 * ew), jnp.float32
+                        )
+                    else:
+                        adj_ref[:, : n + 2 * ew] = adj_of(gp[: 4 * cp], t, msk)
                 return carry
 
             jax.lax.fori_loop(0, n_tiles, tile_body, 0)
