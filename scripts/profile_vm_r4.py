@@ -45,6 +45,11 @@ def main():
         ("no_video_motion", dict(loss_overrides={"video_motion_weight": 0.0})),
         ("rollout_only", dict(loss_overrides={
             "appearance_weight": 0.0, "video_motion_weight": 0.0})),
+        # Same MSOE fwd+bwd, Gram metric instead of OT: splits the
+        # video_motion marginal into MSOE-vs-OT shares
+        # (gram_ms = full - vm_gram ≈ the OT-minus-Gram metric cost).
+        ("vm_gram", dict(loss_overrides={
+            "video_motion_loss_type": "MotionGram"})),
         ("full_xla", dict(rollout_path="xla")),
     ]
     out = {}
@@ -64,6 +69,7 @@ def main():
         "video_motion_marginal_ms": 1000 * (full - out["no_video_motion"]),
         "loss_both_marginal_ms": 1000 * (full - out["rollout_only"]),
         "rollout_only_ms": 1000 * out["rollout_only"],
+        "ot_vs_gram_metric_ms": 1000 * (full - out["vm_gram"]),
         "xla_full_ms": 1000 * out["full_xla"],
     }), flush=True)
 

@@ -117,7 +117,7 @@ def video_motion_loss(
             "target_features (precomputed per-pair MSOE features)"
         )
 
-    from vsnca_tpu.models.msoe import motion_pair_from_rgb, msoe_forward
+    from vsnca_tpu.models.msoe import motion_pairs_from_frames, msoe_forward
 
     n_pairs = len(generated_frames) - 1
 
@@ -127,15 +127,9 @@ def video_motion_loss(
     # utilization and one dispatch chain instead of n_pairs, for both the
     # forward and the BPTT backward. Per-pair metric keys/subsample draws
     # below keep the exact per-pair key sequence of the unbatched loop.
-    gen_pairs = jnp.concatenate(
-        [
-            motion_pair_from_rgb(
-                generated_frames[i], generated_frames[i + 1], motion_img_size
-            )
-            for i in range(n_pairs)
-        ],
-        axis=0,
-    )
+    # motion_pairs_from_frames also resizes/grayscales each frame once
+    # (interior frames belong to two pairs).
+    gen_pairs = motion_pairs_from_frames(generated_frames, motion_img_size)
     bsz = generated_frames[0].shape[0]
     flow_all, feats_all = msoe_forward(msoe_params, gen_pairs, return_features=True)
     fg_list = [feats_all[0][i * bsz : (i + 1) * bsz] for i in range(n_pairs)]
@@ -156,15 +150,7 @@ def video_motion_loss(
         # Target pairs are constants (no gradient path), so their MSOE runs
         # as a separate stacked stop-gradient call: XLA never builds a
         # backward for it.
-        tgt_pairs = jnp.concatenate(
-            [
-                motion_pair_from_rgb(
-                    target_frames[i], target_frames[i + 1], motion_img_size
-                )
-                for i in range(n_pairs)
-            ],
-            axis=0,
-        )
+        tgt_pairs = motion_pairs_from_frames(target_frames, motion_img_size)
         tb = target_frames[0].shape[0]
         tflow_all, tfeats_all = msoe_forward(
             msoe_params, tgt_pairs, return_features=True

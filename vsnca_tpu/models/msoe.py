@@ -168,3 +168,31 @@ def motion_pair_from_rgb(
     g1 = rgb_to_grayscale((image1 + 1.0) / 2.0)
     g2 = rgb_to_grayscale((image2 + 1.0) / 2.0)
     return jnp.concatenate([g1, g2], axis=-1)
+
+
+def motion_pairs_from_frames(frames, size: Tuple[int, int]) -> jnp.ndarray:
+    """Consecutive-pair MSOE inputs for a frame sequence, stacked on batch:
+    [len(frames)-1 × B, h, w, 2].
+
+    Value-identical to calling ``motion_pair_from_rgb`` per pair and
+    concatenating, but each frame is resized + grayscaled ONCE (interior
+    frames belong to two pairs — the per-pair path recomputed them, and its
+    BPTT backward re-ran each interior frame's resize adjoint twice), and
+    all frames ride a single batched resize/luma op.
+    """
+    from vsnca_tpu.ops.resize import resize_bilinear
+
+    t = len(frames)
+    assert t >= 2
+    x = jnp.concatenate(list(frames), axis=0)
+    if x.shape[1:3] != tuple(size):
+        x = resize_bilinear(x, size)
+    g = rgb_to_grayscale((x + 1.0) / 2.0)
+    b = frames[0].shape[0]
+    return jnp.concatenate(
+        [
+            jnp.concatenate([g[i * b : (i + 1) * b], g[(i + 1) * b : (i + 2) * b]], axis=-1)
+            for i in range(t - 1)
+        ],
+        axis=0,
+    )

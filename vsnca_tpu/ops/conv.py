@@ -75,11 +75,36 @@ def torch_conv_init(
 def max_pool_2d(
     x: jnp.ndarray, window: int, stride: int = 1, padding: int = 0
 ) -> jnp.ndarray:
-    """Max pool on NHWC with symmetric zero-region padding (−inf identity)."""
+    """Max pool on NHWC with symmetric zero-region padding (−inf identity).
+
+    Stride-1 float pools take a separable shifted-slices path: the max over a
+    w×w window is the H-axis max of w shifted views followed by the W-axis
+    max (2·(w−1) elementwise maxima). Value-identical to ``reduce_window``,
+    but its VJP is elementwise selects instead of XLA's ``select_and_scatter``
+    — the scatter made the 5×5 stride-1 pool inside MSOE (msoe.py:96) the
+    dominant cost of the video-motion loss backward.
+    """
+    is_float = jnp.issubdtype(x.dtype, jnp.floating)
+    if stride == 1 and is_float and window > 1:
+        neg = jnp.asarray(-jnp.inf, x.dtype)
+        xp = jnp.pad(
+            x,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=neg,
+        )
+        out_h = x.shape[1] + 2 * padding - window + 1
+        out_w = x.shape[2] + 2 * padding - window + 1
+        r = xp[:, 0:out_h]
+        for d in range(1, window):
+            r = jnp.maximum(r, xp[:, d : d + out_h])
+        y = r[:, :, 0:out_w]
+        for d in range(1, window):
+            y = jnp.maximum(y, r[:, :, d : d + out_w])
+        return y
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        -jnp.inf if is_float else jnp.iinfo(x.dtype).min,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
