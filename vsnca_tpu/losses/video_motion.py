@@ -130,10 +130,21 @@ def video_motion_loss(
     # motion_pairs_from_frames also resizes/grayscales each frame once
     # (interior frames belong to two pairs).
     gen_pairs = motion_pairs_from_frames(generated_frames, motion_img_size)
+
+    if loss_type == "MotionPairMean":
+        # Profiling-only stub: keeps the pair construction (resize/luma)
+        # fwd+bwd, drops MSOE and the metric — for full-iteration marginal
+        # cost splits (scripts/profile_vm_r4.py methodology).
+        return jnp.mean(gen_pairs), (None, None)
     bsz = generated_frames[0].shape[0]
     flow_all, feats_all = msoe_forward(msoe_params, gen_pairs, return_features=True)
     fg_list = [feats_all[0][i * bsz : (i + 1) * bsz] for i in range(n_pairs)]
     flow_g = flow_all[(n_pairs - 1) * bsz :]
+
+    if loss_type == "MotionMean":
+        # Profiling-only stub: keeps pair construction + the generated-side
+        # MSOE fwd+bwd, drops target features and the statistics metric.
+        return jnp.mean(feats_all[0]), (flow_g, None)
 
     flow_t = None
     if target_features is not None:

@@ -72,20 +72,31 @@ def torch_conv_init(
     return p
 
 
+# Trace-time switch for the stride-1 pooling lowering (flip between
+# benchmark runs to A/B the two paths in one process; jit programs trace
+# whichever value is set at trace time). MEASURED NEGATIVE on v5e
+# (scripts/profile_vm_r4c.py, 256² MSOE inside the video_motion train
+# iteration): the shifted-slices path is ~11 ms/iter SLOWER than
+# reduce_window + select_and_scatter — its W-direction shifted slices are
+# sublane-misaligned relayouts (the round-2 layout lesson), which dwarf
+# whatever the elementwise-select VJP saves. Default stays reduce_window.
+_POOL_SHIFTMAX = False
+
+
 def max_pool_2d(
     x: jnp.ndarray, window: int, stride: int = 1, padding: int = 0
 ) -> jnp.ndarray:
     """Max pool on NHWC with symmetric zero-region padding (−inf identity).
 
-    Stride-1 float pools take a separable shifted-slices path: the max over a
-    w×w window is the H-axis max of w shifted views followed by the W-axis
-    max (2·(w−1) elementwise maxima). Value-identical to ``reduce_window``,
-    but its VJP is elementwise selects instead of XLA's ``select_and_scatter``
-    — the scatter made the 5×5 stride-1 pool inside MSOE (msoe.py:96) the
-    dominant cost of the video-motion loss backward.
+    With ``_POOL_SHIFTMAX`` set, stride-1 float pools take a separable
+    shifted-slices path: the max over a w×w window is the H-axis max of w
+    shifted views followed by the W-axis max (2·(w−1) elementwise maxima).
+    Value-identical to ``reduce_window`` with an elementwise-select VJP, but
+    measured SLOWER in production (see the toggle's comment) — kept only as
+    the A/B arm for profiling.
     """
     is_float = jnp.issubdtype(x.dtype, jnp.floating)
-    if stride == 1 and is_float and window > 1:
+    if stride == 1 and is_float and window > 1 and _POOL_SHIFTMAX:
         neg = jnp.asarray(-jnp.inf, x.dtype)
         xp = jnp.pad(
             x,
