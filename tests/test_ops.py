@@ -169,3 +169,45 @@ def test_max_pool_matches_torch():
     np.testing.assert_allclose(
         np.asarray(ours5), theirs5.numpy().transpose(0, 2, 3, 1), rtol=1e-6
     )
+
+
+def test_max_pool_eq_vjp_matches_reduce_window_grad():
+    """The equality-mask custom VJP (production stride-1 path) must match
+    XLA's select_and_scatter gradient exactly on tie-free inputs, for every
+    (window, padding) shape the codebase uses and a few generic ones."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 11, 13, 4).astype(np.float32))
+
+    def rw(x, w, p):
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            (1, w, w, 1),
+            (1, 1, 1, 1),
+            ((0, 0), (p, p), (p, p), (0, 0)),
+        )
+
+    for w, p in [(5, 2), (3, 1), (2, 0), (4, 1), (5, 0)]:
+        y_eq = max_pool_2d(x, w, 1, p)
+        y_rw = rw(x, w, p)
+        assert np.array_equal(np.asarray(y_eq), np.asarray(y_rw)), (w, p)
+        g_eq = jax.grad(lambda v: jnp.sum(jnp.sin(3 * max_pool_2d(v, w, 1, p))))(x)
+        g_rw = jax.grad(lambda v: jnp.sum(jnp.sin(3 * rw(v, w, p))))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_eq), np.asarray(g_rw), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_max_pool_eq_vjp_splits_ties_conserving_mass():
+    """On tied inputs the eq-VJP splits each window's cotangent evenly across
+    its argmaxes (a valid symmetric subgradient); total gradient mass equals
+    the number of output cells (for an identity-sum loss)."""
+    import jax
+
+    xc = jnp.ones((1, 8, 8, 1), jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(max_pool_2d(v, 5, 1, 2)))(xc)
+    np.testing.assert_allclose(float(jnp.sum(g)), 64.0, rtol=1e-5)
+    assert float(jnp.min(g)) > 0.0  # every tied cell gets a share

@@ -8,6 +8,7 @@ torch checkpoints are a simple transpose.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -82,18 +83,111 @@ def torch_conv_init(
 # whatever the elementwise-select VJP saves. Default stays reduce_window.
 _POOL_SHIFTMAX = False
 
+# Stride-1 float pools take a custom-VJP path by default: reduce_window
+# forwards (separable 1D×1D — values identical to the 2D window) with an
+# equality-mask backward instead of XLA's select_and_scatter, which the
+# r4d stage split measured at ~25 ms/iter of the video_motion training
+# iteration (scripts/profile_vm_r4d.py: the 5×5 stride-1 pool is 25.5 ms
+# of the 34 ms MSOE fwd+bwd marginal; everything else in MSOE is ≤6 ms).
+# The backward is w shifted compare-accumulate passes per 1D stage — all
+# static-offset slices of padded arrays that XLA fuses into elementwise
+# loops. Tie semantics differ from select_and_scatter: gradient is SPLIT
+# evenly across tied argmaxes (a valid symmetric subgradient) instead of
+# routed to the first match — identical on tie-free inputs (any random
+# test), and better-behaved on the real tie case (flat image regions
+# squaring to equal conv responses).
+_POOL_EQ_VJP = True
+
+
+def _rw_max_1d(x: jnp.ndarray, window: int, padding: int, axis: int):
+    """1D max reduce_window along ``axis`` of an NHWC array, stride 1."""
+    dims = [1, 1, 1, 1]
+    pads = [(0, 0)] * 4
+    dims[axis] = window
+    pads[axis] = (padding, padding)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=tuple(dims),
+        window_strides=(1, 1, 1, 1),
+        padding=tuple(pads),
+    )
+
+
+def _ax_pad(x, axis, lo, hi, value):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (lo, hi)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def _ax_slice(x, axis, start, size):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + size)
+    return x[tuple(idx)]
+
+
+def _eq_bwd_1d(x, y, g, window, padding, axis):
+    """VJP of a 1D stride-1 max pool via equality masks.
+
+    For output o with window [o−p, o−p+w−1]: tie count
+    T[o] = Σ_d [x[o−p+d] == y[o]], and the input cotangent
+    gx[i] = Σ_{o ∋ i} (g[o]/T[o]) · [x[i] == y[o]]. Both sums unroll as
+    ``window`` static-offset slices of −inf/0-padded arrays, so out-of-range
+    windows contribute nothing (padded y = −inf never equals finite x).
+    """
+    w, p = window, padding
+    n_out = y.shape[axis]
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = _ax_pad(x, axis, p, p, neg)
+    ties = None
+    for d in range(w):
+        eq = (_ax_slice(xp, axis, d, n_out) == y).astype(x.dtype)
+        ties = eq if ties is None else ties + eq
+    gs = g / ties
+    yp = _ax_pad(y, axis, w - 1 - p, w - 1 - p, neg)
+    gp = _ax_pad(gs, axis, w - 1 - p, w - 1 - p, 0.0)
+    n_in = x.shape[axis]
+    gx = None
+    for s in range(w):
+        term = _ax_slice(gp, axis, s, n_in) * (
+            x == _ax_slice(yp, axis, s, n_in)
+        ).astype(x.dtype)
+        gx = term if gx is None else gx + term
+    return gx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_2d_eq(x: jnp.ndarray, window: int, padding: int):
+    return _rw_max_1d(_rw_max_1d(x, window, padding, 2), window, padding, 1)
+
+
+def _max_pool_2d_eq_fwd(x, window, padding):
+    y1 = _rw_max_1d(x, window, padding, 2)
+    y = _rw_max_1d(y1, window, padding, 1)
+    return y, (x, y1, y)
+
+
+def _max_pool_2d_eq_bwd(window, padding, res, g):
+    x, y1, y = res
+    g1 = _eq_bwd_1d(y1, y, g, window, padding, 1)
+    gx = _eq_bwd_1d(x, y1, g1, window, padding, 2)
+    return (gx,)
+
+
+_max_pool_2d_eq.defvjp(_max_pool_2d_eq_fwd, _max_pool_2d_eq_bwd)
+
 
 def max_pool_2d(
     x: jnp.ndarray, window: int, stride: int = 1, padding: int = 0
 ) -> jnp.ndarray:
     """Max pool on NHWC with symmetric zero-region padding (−inf identity).
 
-    With ``_POOL_SHIFTMAX`` set, stride-1 float pools take a separable
-    shifted-slices path: the max over a w×w window is the H-axis max of w
-    shifted views followed by the W-axis max (2·(w−1) elementwise maxima).
-    Value-identical to ``reduce_window`` with an elementwise-select VJP, but
-    measured SLOWER in production (see the toggle's comment) — kept only as
-    the A/B arm for profiling.
+    Stride-1 float pools default to ``_max_pool_2d_eq``: separable
+    reduce_window forwards with an equality-mask custom VJP (see the
+    ``_POOL_EQ_VJP`` comment — select_and_scatter was the single biggest
+    term of the video-motion loss backward). ``_POOL_SHIFTMAX`` selects the
+    shifted-slices forward instead (measured negative, kept as an A/B arm).
     """
     is_float = jnp.issubdtype(x.dtype, jnp.floating)
     if stride == 1 and is_float and window > 1 and _POOL_SHIFTMAX:
@@ -112,6 +206,8 @@ def max_pool_2d(
         for d in range(1, window):
             y = jnp.maximum(y, r[:, :, d : d + out_w])
         return y
+    if stride == 1 and is_float and window > 1 and _POOL_EQ_VJP:
+        return _max_pool_2d_eq(x, window, padding)
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return jax.lax.reduce_window(
         x,
