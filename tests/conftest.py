@@ -29,3 +29,17 @@ if not _on_hardware:
     # env; selecting cpu through jax.config is what actually sticks.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite's cost is dominated by XLA compiles of many small distinct
+# programs (protocol/trainer tests compile 5-10 jit programs each; the
+# heaviest tests are ~95% compile time). The persistent cache makes reruns
+# and shared-shape programs across xdist workers near-free; first-ever runs
+# are unchanged. Content-hashed, so stale entries are impossible.
+try:  # pragma: no cover - cache support depends on the jax build
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/vsnca_jax_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
