@@ -396,6 +396,36 @@ def test_video_motion_precomputed_target_features_identical():
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
 
 
+def test_video_motion_grad_lowers_without_select_and_scatter():
+    """Regression guard for the r4 pool lowering: the video-motion loss
+    backward must NOT contain select_and_scatter (XLA's reduce_window-max
+    VJP — measured at 25.5 ms/iter of the production training iteration,
+    scripts/profile_vm_r4d.py); the equality-mask custom VJP in
+    ops/conv.py::_max_pool_2d_eq replaces it."""
+    from vsnca_tpu.losses.video_motion import (
+        precompute_target_motion_features,
+    )
+
+    msoe = msoe_random_init(jax.random.PRNGKey(0))
+    gen = [
+        jax.random.uniform(jax.random.PRNGKey(i), (1, 32, 32, 3)) * 2 - 1
+        for i in range(2)
+    ]
+    video = jax.random.uniform(jax.random.PRNGKey(9), (2, 32, 32, 3)) * 2 - 1
+    feats = precompute_target_motion_features(msoe, video, (32, 32))
+
+    def loss_fn(fr):
+        l, _ = video_motion_loss(
+            msoe, fr, None, "MotionGram", motion_img_size=(32, 32),
+            target_features=feats,
+        )
+        return l
+
+    txt = jax.jit(jax.grad(loss_fn)).lower(gen).as_text()
+    assert "select_and_scatter" not in txt
+    assert "select-and-scatter" not in txt
+
+
 def test_train_step_precomputed_targets_identical():
     """The full jitted train step produces identical params/loss with and
     without precomputed target features (same key -> same rollout/masks)."""
