@@ -425,6 +425,15 @@ def test_video_motion_grad_lowers_without_select_and_scatter():
     assert "select_and_scatter" not in txt
     assert "select-and-scatter" not in txt
 
+    # Same for the appearance term (VGG's five 2x2/2 pools take the
+    # non-overlapping repeat+equality VJP).
+    vgg = vgg16_random_init(jax.random.PRNGKey(16))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3)) * 2 - 1
+    txt = jax.jit(
+        jax.grad(lambda v: appearance_loss(vgg, v, img, "Gram"))
+    ).lower(img).as_text()
+    assert "select_and_scatter" not in txt
+
 
 def test_train_step_precomputed_targets_identical():
     """The full jitted train step produces identical params/loss with and

@@ -201,6 +201,30 @@ def test_max_pool_eq_vjp_matches_reduce_window_grad():
         )
 
 
+def test_max_pool_nonoverlap_eq_vjp_matches_reduce_window_grad():
+    """window == stride pools (VGG's 2x2/2) take the repeat+equality VJP;
+    values and gradients must match select_and_scatter EXACTLY on tie-free
+    inputs (each input belongs to one window, so there is no
+    accumulation-order ambiguity). Includes non-divisible tails (VALID)."""
+    import jax
+
+    def rw(x, w):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, w, w, 1), (1, w, w, 1), "VALID"
+        )
+
+    rng = np.random.RandomState(13)
+    for shape, w in [((2, 16, 16, 4), 2), ((2, 17, 19, 4), 2),
+                     ((1, 9, 12, 3), 3)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        assert np.array_equal(
+            np.asarray(max_pool_2d(x, w, w, 0)), np.asarray(rw(x, w))
+        )
+        g_eq = jax.grad(lambda v: jnp.sum(jnp.sin(3 * max_pool_2d(v, w, w, 0))))(x)
+        g_rw = jax.grad(lambda v: jnp.sum(jnp.sin(3 * rw(v, w))))(x)
+        assert np.array_equal(np.asarray(g_eq), np.asarray(g_rw)), (shape, w)
+
+
 def test_max_pool_eq_vjp_splits_ties_conserving_mass():
     """On tied inputs the eq-VJP splits each window's cotangent evenly across
     its argmaxes (a valid symmetric subgradient); total gradient mass equals

@@ -99,14 +99,11 @@ def load_vgg16(path: Optional[str] = None, dtype=jnp.float32) -> Tuple[List[dict
 
 
 def _maxpool2x2(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    # window == stride routes to the repeat+equality custom VJP (no
+    # select_and_scatter in the style-loss backward — ops/conv.py r4 note).
+    from vsnca_tpu.ops.conv import max_pool_2d
+
+    return max_pool_2d(x, 2, 2, 0)
 
 
 def vgg16_features(

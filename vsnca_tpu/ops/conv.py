@@ -178,6 +178,62 @@ def _max_pool_2d_eq_bwd(window, padding, res, g):
 _max_pool_2d_eq.defvjp(_max_pool_2d_eq_fwd, _max_pool_2d_eq_bwd)
 
 
+def _rw_max_nonoverlap(x: jnp.ndarray, window: int):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, window, window, 1),
+        padding="VALID",
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_2d_nonoverlap_eq(x: jnp.ndarray, window: int):
+    """window == stride max pool (VGG's 2×2/2): each input cell belongs to
+    exactly one window, so the VJP is repeat-upsample + equality mask —
+    no select_and_scatter (same motivation as ``_max_pool_2d_eq``)."""
+    return _rw_max_nonoverlap(x, window)
+
+
+def _max_pool_2d_nonoverlap_eq_fwd(x, window):
+    y = _rw_max_nonoverlap(x, window)
+    return y, (x, y)
+
+
+def _max_pool_2d_nonoverlap_eq_bwd(window, res, g):
+    x, y = res
+    w = window
+    hc, wc = y.shape[1] * w, y.shape[2] * w  # VALID: tail rows/cols unused
+
+    def up(v):  # nearest ×w upsample
+        return jnp.repeat(jnp.repeat(v, w, axis=1), w, axis=2)
+
+    eq = (x[:, :hc, :wc] == up(y)).astype(x.dtype)
+    ties = jax.lax.reduce_window(
+        eq,
+        jnp.asarray(0.0, x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, w, w, 1),
+        window_strides=(1, w, w, 1),
+        padding="VALID",
+    )
+    gx = eq * up(g / ties)
+    pads = (
+        (0, 0),
+        (0, x.shape[1] - hc),
+        (0, x.shape[2] - wc),
+        (0, 0),
+    )
+    return (jnp.pad(gx, pads),)
+
+
+_max_pool_2d_nonoverlap_eq.defvjp(
+    _max_pool_2d_nonoverlap_eq_fwd, _max_pool_2d_nonoverlap_eq_bwd
+)
+
+
 def max_pool_2d(
     x: jnp.ndarray, window: int, stride: int = 1, padding: int = 0
 ) -> jnp.ndarray:
@@ -208,6 +264,9 @@ def max_pool_2d(
         return y
     if stride == 1 and is_float and window > 1 and _POOL_EQ_VJP:
         return _max_pool_2d_eq(x, window, padding)
+    if (stride == window and padding == 0 and is_float and window > 1
+            and _POOL_EQ_VJP):
+        return _max_pool_2d_nonoverlap_eq(x, window)
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return jax.lax.reduce_window(
         x,
