@@ -55,6 +55,12 @@ def precompute_target_motion_features(
     per-pair size is measured from the first pair's actual feature shape,
     not hard-coded."""
     n_pairs = int(target_video.shape[0]) - 1
+    if n_pairs < 1:
+        raise ValueError(
+            "precompute_target_motion_features needs >= 2 target frames "
+            f"(got {target_video.shape[0]}); motion features are per "
+            "consecutive pair"
+        )
     first, _ = motion_feature(
         msoe_params, target_video[0:1], target_video[1:2], motion_img_size
     )
