@@ -40,6 +40,6 @@ try:  # pragma: no cover - cache support depends on the jax build
         "jax_compilation_cache_dir",
         os.path.expanduser("~/.cache/vsnca_jax_tests"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
