@@ -255,6 +255,52 @@ def bench_encoder_training(iters: int = 5):
     return 1.0 / best
 
 
+def bench_fleet(iters: int = 4, n_models: int = 4):
+    """Aggregate train it/s for a vmapped fleet of static-texture models
+    (train/multi.py) — the multi-tenant 'style library' workload. One
+    program trains all models; compare against n_models x the sequential
+    single-model XLA number."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vsnca_tpu.data.preprocess import synthetic_style_image
+    from vsnca_tpu.models.vgg import load_vgg16
+    from vsnca_tpu.train.multi import MultiStyleTrainer
+    from vsnca_tpu.train.presets import PRESETS
+
+    nca_cfg, loss_cfg, train_cfg = PRESETS["static_texture"]()
+    # pool_size doesn't affect per-iteration compute (gather of batch_size);
+    # shrink it so the stacked fleet pool stays small.
+    train_cfg = dataclasses.replace(
+        train_cfg, pool_size=64, rollout_path="xla"
+    )
+    vgg, _ = load_vgg16()
+    fleet = MultiStyleTrainer(
+        nca_cfg, loss_cfg, train_cfg, seeds=tuple(range(n_models)),
+        vgg_params=vgg,
+    )
+    styles = jnp.stack([
+        jnp.asarray(
+            synthetic_style_image(
+                train_cfg.img_size, train_cfg.batch_size, seed=m
+            ) * 2 - 1
+        )
+        for m in range(n_models)
+    ])
+    inputs = {"target_style": styles}
+    fleet.train_iteration(inputs, step_n=64)
+    fleet.train_iteration(inputs, step_n=64)
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for k in range(iters):
+            fleet.train_iteration(inputs, step_n=64, sync=(k == iters - 1))
+        r = (time.perf_counter() - t0) / iters
+        dt = r if dt is None else min(dt, r)
+    return n_models / dt
+
+
 def bench_training():
     """Train iters/sec for ALL five BASELINE presets plus the torch-CPU
     ratio on the SAME workload as scripts/bench_torch_cpu.py (128px,
@@ -291,6 +337,13 @@ def bench_training():
         except Exception as e:  # pragma: no cover - bench resilience
             out[key] = None
             out[key + "_error"] = repr(e)
+
+    try:
+        # Fleet (multi-style) aggregate: 4 models, one vmapped program.
+        out["train_iters_per_sec_fleet4_aggregate"] = bench_fleet()
+    except Exception as e:  # pragma: no cover - bench resilience
+        out["train_iters_per_sec_fleet4_aggregate"] = None
+        out["fleet_error"] = repr(e)
 
     try:
         out["train_iters_per_sec_encoder"] = bench_encoder_training()
