@@ -376,10 +376,15 @@ def bench_training():
         sys.path.insert(0, "scripts")
         from bench_torch_cpu import measure
 
+        import os as _os
+
         with contextlib.redirect_stdout(sys.stderr):  # keep stdout = 1 JSON line
-            torch_dt = measure(iters=2)
+            torch_dt = measure(iters=3)  # median-of-3 (VERDICT r4 weak #3)
         out["torch_cpu_sec_per_iter"] = torch_dt
         out["vs_torch_cpu"] = torch_dt * st["train_iters_per_sec"]
+        # Box load when the baseline ran — context for run-to-run drift on
+        # the shared single-core box.
+        out["torch_cpu_loadavg"] = list(_os.getloadavg())
     except Exception as e:  # pragma: no cover
         out["vs_torch_cpu"] = None
         out["torch_cpu_error"] = repr(e)

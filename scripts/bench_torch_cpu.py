@@ -129,12 +129,19 @@ def measure(iters: int = 3) -> float:
         return s.detach(), float(loss)
 
     state, _ = train_iter(state)  # warm
-    t0 = time.time()
+    # MEDIAN of per-iteration times, not the mean: this runs on a shared
+    # box whose load swings the torch number +-2x run-to-run (BENCH_r04
+    # 7.39 s/iter vs a same-day 14.64 — VERDICT r4 weak #3); the median
+    # rejects the one iteration that landed on a load spike.
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         state, loss = train_iter(state)
-    dt = (time.time() - t0) / iters
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     print(
-        f"torch-cpu: {dt:.2f} s/iter ({1/dt:.3f} it/s) "
+        f"torch-cpu: median {dt:.2f} s/iter of {[round(t, 2) for t in times]} "
+        f"({1/dt:.3f} it/s) "
         f"[{SIZE}px batch {BATCH}, {STEPS}-step BPTT, Gram loss] loss={loss:.4f}"
     )
     return dt

@@ -62,8 +62,9 @@ def main():
     vgg, _ = load_vgg16()
 
     def make_trainer(**kw):
+        kw.setdefault("step_buckets", (64,))
         return ConditionedNCATrainer(
-            cfg, dataset, style, vgg, step_buckets=(64,), pool_size=64, **kw
+            cfg, dataset, style, vgg, pool_size=64, **kw
         )
 
     import os

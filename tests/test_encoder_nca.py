@@ -116,7 +116,7 @@ def test_circular_mask_radius():
     assert m.dtype == bool and 0 < m.sum() <= np.pi * 16  # ~r^2*pi cells
 
 
-def _tiny_trainer(num_damaged=0):
+def _tiny_trainer(num_damaged=0, **kw):
     cfg = ConditionedNCAConfig(
         image_size=32, num_hidden_channels=4, update_hidden_dim=16
     )
@@ -127,17 +127,59 @@ def _tiny_trainer(num_damaged=0):
     return ConditionedNCATrainer(
         cfg, dataset, style, vgg, nca_steps=(4, 8), step_buckets=(4, 8),
         pool_size=16, num_damaged=num_damaged, appearance_loss_type="Gram",
+        **kw,
     )
 
 
 def test_encoder_trainer_epoch_runs_and_updates_pool():
-    tr = _tiny_trainer()
+    tr = _tiny_trainer(device_pool=False)
     assert all(e is None for e in tr.pool.entries)
     loss, metrics = tr.train_iteration(batch_size=4, num_steps=4)
     assert np.isfinite(loss)
     assert {"overflow", "appearance", "content", "log10loss"} <= set(metrics)
     filled = sum(e is not None for e in tr.pool.entries)
     assert filled == 4  # batch written back
+
+
+def test_encoder_trainer_device_pool_epoch_updates_pool_states():
+    tr = _tiny_trainer()  # device_pool=True is the default
+    seeds = np.asarray(tr.pool_states).copy()
+    loss, metrics = tr.train_iteration(batch_size=4, num_steps=4)
+    assert np.isfinite(loss)
+    changed = [
+        i for i in range(seeds.shape[0])
+        if not np.array_equal(seeds[i], np.asarray(tr.pool_states[i]))
+    ]
+    assert len(changed) == 4  # exactly the sampled batch written back
+
+
+def test_device_pool_matches_list_pool():
+    """device_pool=True must reproduce the host ListPool trainer exactly:
+    same RNG draws, same dead-entry reseeds, same losses/params/pool."""
+    tr_host = _tiny_trainer(device_pool=False)
+    tr_dev = _tiny_trainer()
+    for _ in range(3):
+        lh, _ = tr_host.train_iteration(batch_size=4, num_steps=4)
+        ld, _ = tr_dev.train_iteration(batch_size=4, num_steps=4)
+        np.testing.assert_allclose(lh, ld, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr_host.params),
+        jax.tree_util.tree_leaves(tr_dev.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+    # pool contents: ListPool None entries read as fresh seeds
+    seed1 = np.asarray(
+        __import__(
+            "vsnca_tpu.models.conditioned_nca", fromlist=["conditioned_nca_seed"]
+        ).conditioned_nca_seed(tr_host.cfg, 1)
+    )[0]
+    for i, e in enumerate(tr_host.pool.entries):
+        want = seed1 if e is None else np.asarray(e)
+        np.testing.assert_allclose(
+            np.asarray(tr_dev.pool_states[i]), want, rtol=1e-5, atol=1e-7
+        )
 
 
 def test_encoder_trainer_damage_path():
@@ -188,7 +230,7 @@ def test_host_dead_check_matches_device_alive_mask():
 def test_collapse_recovery_restores_best_and_reseeds_pool():
     """recovery_patience epochs above recovery_factor x best -> params
     restored from the best snapshot, pool reseeded, optimizer reset."""
-    tr = _tiny_trainer()
+    tr = _tiny_trainer(device_pool=False)
     tr.recovery_patience = 2
     tr.recovery_factor = 1.0  # any non-improving epoch counts as plateau
     tr.train_iteration(batch_size=4, num_steps=4)

@@ -137,6 +137,7 @@ class ConditionedNCATrainer:
         seed: int = 0,
         recovery_patience: int = 0,
         recovery_factor: float = 3.0,
+        device_pool: bool = True,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -159,7 +160,39 @@ class ConditionedNCATrainer:
             optax.adam(multistep_lr(lr, (5000,), 0.3)),
         )
         self.opt_state = self.optimizer.init(self.params)
+        # Device-resident pool (default): the host ListPool's get/set cycle
+        # moves 2x batch x H x W x C floats across the host boundary every
+        # iteration — measured 623 ms of a 767 ms iteration at 64px b8 on
+        # the axon tunnel (docs/hw_r5/encoder_marginals.log). Keeping the
+        # pool as one [P, H, W, C] device array turns that into a device
+        # gather + scatter; iteration semantics are unchanged (ListPool's
+        # None entries read as fresh seeds, which is exactly the device
+        # pool's seed initialization; dead entries are reseeded at gather).
+        self.device_pool = device_pool
         self.pool = ListPool(pool_size)
+        if device_pool:
+            self.pool_states = conditioned_nca_seed(cfg, pool_size)
+            thr = cfg.alpha_living_threshold
+            alive_ch = cfg.alive_channel
+            use_living = cfg.use_living_channel
+
+            @jax.jit
+            def _gather(pool, idx, seeds2):
+                batch = pool[idx]
+                if use_living:
+                    amax = jnp.max(batch[..., alive_ch], axis=(1, 2))
+                    dead = ~(amax > thr)
+                    batch = jnp.where(
+                        dead[:, None, None, None], seeds2[:1], batch
+                    )
+                return batch.at[:2].set(seeds2)
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def _scatter(pool, idx, new_states):
+                return pool.at[idx].set(new_states)
+
+            self._gather = _gather
+            self._scatter = _scatter
         self.loss_fn = make_encoder_loss_fn(
             vgg_params, style_image, appearance_loss_type,
             appearance_weight, content_weight, overflow_weight,
@@ -188,6 +221,11 @@ class ConditionedNCATrainer:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _pool_size(self) -> int:
+        return (
+            self.pool_states.shape[0] if self.device_pool else len(self.pool)
+        )
 
     def _train_batch_fn(self, num_steps: int):
         if num_steps not in self._step_cache:
@@ -261,15 +299,21 @@ class ConditionedNCATrainer:
     def train_iteration(self, batch_size: int = 8, num_steps: Optional[int] = None):
         """One epoch: sample pool batch (2 forced fresh seeds), train the
         batch TWICE, write back (conditioned_trainer.py:158-177)."""
-        idxs = self.py_rng.sample(range(len(self.pool)), batch_size)
+        idxs = self.py_rng.sample(range(self._pool_size()), batch_size)
         targets = self.dataset.sample(self.rng, batch_size)
 
-        def reseed(n):
-            return np.asarray(conditioned_nca_seed(self.cfg, n))
+        if self.device_pool:
+            batch = self._gather(
+                self.pool_states, jnp.asarray(idxs),
+                conditioned_nca_seed(self.cfg, 2),
+            )
+        else:
+            def reseed(n):
+                return np.asarray(conditioned_nca_seed(self.cfg, n))
 
-        batch_np = self.pool.get(idxs, reseed, is_dead_fn=self._is_dead)
-        batch = jnp.asarray(batch_np)
-        batch = batch.at[:2].set(conditioned_nca_seed(self.cfg, 2))
+            batch_np = self.pool.get(idxs, reseed, is_dead_fn=self._is_dead)
+            batch = jnp.asarray(batch_np)
+            batch = batch.at[:2].set(conditioned_nca_seed(self.cfg, 2))
         if self.num_damaged:
             batch = self.damage(batch)
 
@@ -284,6 +328,13 @@ class ConditionedNCATrainer:
             self.params, self.opt_state, outputs, targets, self._next_key()
         )
 
+        # Queue the pool write-back BEFORE the blocking metrics fetch so the
+        # scatter dispatch rides the same device stream (device-pool mode).
+        if self.device_pool:
+            self.pool_states = self._scatter(
+                self.pool_states, jnp.asarray(idxs), outputs
+            )
+
         # One blocking fetch for loss + all metric scalars (per-term float()
         # is one tunnel round-trip each on the axon backend).
         names = sorted(logs)
@@ -297,7 +348,8 @@ class ConditionedNCATrainer:
         if not np.isfinite(loss_f):
             raise FloatingPointError(f"loss NaN/Inf at epoch {self.iteration}")
 
-        self.pool.set(idxs, np.asarray(outputs))
+        if not self.device_pool:
+            self.pool.set(idxs, np.asarray(outputs))
         metrics = dict(zip(names, map(float, vec[1:])))
         metrics["log10loss"] = math.log10(loss_f + 1e-5)
         self.iteration += 1
@@ -327,7 +379,12 @@ class ConditionedNCATrainer:
             return
         self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
         self.opt_state = self.optimizer.init(self.params)
-        self.pool = ListPool(len(self.pool))
+        if self.device_pool:
+            self.pool_states = conditioned_nca_seed(
+                self.cfg, self.pool_states.shape[0]
+            )
+        else:
+            self.pool = ListPool(len(self.pool))
         self._plateau = 0
         self.recoveries.append((self.iteration, self.best_iteration, self.best_loss))
 
