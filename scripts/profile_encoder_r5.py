@@ -140,6 +140,13 @@ def main():
     print(f"device-resident x2, 32 grow steps: "
           f"{out['device_x2_s32_ms']:.1f} ms/iter", flush=True)
 
+    # ---- BPTT remat A/B: live activations vs per-step recompute ----
+    out["device_x2_remat_none_ms"] = chained(
+        make_trainer(grow_remat="none"), 2
+    )
+    print(f"device-resident x2, remat=none: "
+          f"{out['device_x2_remat_none_ms']:.1f} ms/iter", flush=True)
+
     # ---- transfer micro: the pool io legs in isolation ----
     host_batch = np.zeros((8, 64, 64, cfg.num_channels), np.float32)
     dev = jnp.asarray(host_batch)

@@ -154,11 +154,17 @@ def video_motion_loss(
 
     flow_t = None
     if target_features is not None:
+        # Keep precomputed target features at batch 1: every batch item
+        # scores against the same target pair, so the batch broadcast is
+        # deferred until AFTER the OT subsample gather (gathering the
+        # materialized [B, h', w', 320] broadcast cost ~6 ms/iter —
+        # docs/hw_r5/msoe_split.log target_bcast row); Gram/SlW broadcast
+        # for free in their elementwise differences.
         ft_list = [
             jax.lax.stop_gradient(
-                jnp.broadcast_to(
+                jnp.reshape(
                     target_features[idx],
-                    (bsz,) + tuple(target_features[idx].shape[-3:]),
+                    (1,) + tuple(target_features[idx].shape[-3:]),
                 )
             )
             for idx in range(n_pairs)
@@ -203,6 +209,8 @@ def video_motion_loss(
                 sel = jax.random.choice(sub, h * w, shape=(subsample,), replace=False)
                 gf = jnp.take(gf, sel, axis=1)
                 tf_ = jnp.take(tf_, sel, axis=1)
+            if tf_.shape[0] != b:  # batch-1 precomputed target features
+                tf_ = jnp.broadcast_to(tf_, (b,) + tf_.shape[1:])
 
             def per_item(gx, tx):
                 return _remd(tx, gx) + _moment_loss(tx, gx)

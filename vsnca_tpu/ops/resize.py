@@ -7,16 +7,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bilinear_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] half-pixel-center bilinear sampling matrix
+    (align_corners=False, edge-clamped) — the linear map jax.image.resize
+    applies along one axis."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(src)
+    w_hi = src - lo
+    a = np.zeros((n_out, n_in), np.float64)
+    i0 = np.clip(lo.astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(lo.astype(np.int64) + 1, 0, n_in - 1)
+    rows = np.arange(n_out)
+    np.add.at(a, (rows, i0), 1.0 - w_hi)
+    np.add.at(a, (rows, i1), w_hi)
+    return a.astype(np.float32)
+
+
 def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
     """Bilinear resize of an NHWC tensor to (H, W) = size.
 
     Half-pixel-center sampling without antialiasing — identical to torch
     ``F.interpolate(mode='bilinear', align_corners=False)`` used throughout
     the reference (ConditioneDyNCA/models/dynca.py:81,98; loss resizes).
+
+    Lowered as two static separable matmuls (out = A_h @ x @ A_w^T per
+    channel) rather than ``jax.image.resize``'s gather formulation: the
+    sampling grid is static under jit, matmuls ride the MXU, and — unlike
+    the gather — the BACKWARD is just the transposed matmuls (the gather
+    adjoint is a scatter, measured 8.6 ms of the video-motion iteration
+    for three 256→128 frame resizes — docs/hw_r5/msoe_split.log).
+    Value-parity with jax.image.resize is tested (tests/test_ops.py).
     """
-    b, _, _, c = x.shape
-    return jax.image.resize(
-        x, (b, size[0], size[1], c), method="linear", antialias=False
+    b, h, w, c = x.shape
+    if (h, w) == tuple(size):
+        return x
+    a_h = jnp.asarray(_bilinear_matrix(size[0], h), x.dtype)
+    a_w = jnp.asarray(_bilinear_matrix(size[1], w), x.dtype)
+    return jnp.einsum(
+        "iu,buvc,jv->bijc", a_h, x, a_w, preferred_element_type=x.dtype
     )
 
 

@@ -138,9 +138,15 @@ class ConditionedNCATrainer:
         recovery_patience: int = 0,
         recovery_factor: float = 3.0,
         device_pool: bool = True,
+        grow_remat: str = "per_step",
     ):
         self.cfg = cfg
         self.dataset = dataset
+        # BPTT remat policy for the grow rollout: "per_step" (O(1) rollout
+        # memory, recompute in backward) or "none" (activations live; at
+        # 64px b8 c20 x 96 steps that is ~720 MB — well within HBM — and
+        # skips the forward recompute).
+        self.grow_remat = grow_remat
         self.min_steps, self.max_steps = nca_steps
         self.step_buckets = step_buckets
         self.num_damaged = num_damaged
@@ -232,6 +238,7 @@ class ConditionedNCATrainer:
             cfg = self.cfg
             loss_fn = self.loss_fn
             optimizer = self.optimizer
+            remat = self.grow_remat
 
             @jax.jit
             def step(params, opt_state, batch, targets, key):
@@ -239,7 +246,8 @@ class ConditionedNCATrainer:
 
                 def objective(p):
                     grown = conditioned_nca_grow(
-                        p, batch, targets, k_grow, cfg, num_steps
+                        p, batch, targets, k_grow, cfg, num_steps,
+                        remat=remat,
                     )
                     generated = grown[..., : cfg.num_target_channels]
                     loss, logs = loss_fn(grown, generated, targets, k_loss)
