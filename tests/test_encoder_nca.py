@@ -250,6 +250,27 @@ def test_collapse_recovery_restores_best_and_reseeds_pool():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_collapse_recovery_device_pool_survives_donation():
+    """Recovery in device-pool mode: the best-params snapshot must survive
+    the fused pair program's buffer donation (copy, not reference), and
+    training must continue after recover()."""
+    tr = _tiny_trainer()
+    tr.recovery_patience = 2
+    tr.recovery_factor = 1.0
+    tr.train_iteration(batch_size=4, num_steps=4)
+    assert tr._best_params is not None
+    tr.best_loss = 0.0  # unbeatable -> every epoch plateaus
+    tr.train_iteration(batch_size=4, num_steps=4)
+    _, metrics = tr.train_iteration(batch_size=4, num_steps=4)
+    assert metrics.get("recovered") == 1.0
+    # pool reseeded on device
+    seed1 = np.asarray(conditioned_nca_seed(tr.cfg, 1))[0]
+    np.testing.assert_array_equal(np.asarray(tr.pool_states[0]), seed1)
+    # params usable after restore (donation did not kill the snapshot)
+    loss, _ = tr.train_iteration(batch_size=4, num_steps=4)
+    assert np.isfinite(loss)
+
+
 def test_alive_frac_metric_logged():
     tr = _tiny_trainer()
     _, metrics = tr.train_iteration(batch_size=4, num_steps=4)

@@ -178,12 +178,15 @@ class ConditionedNCATrainer:
         self.pool = ListPool(pool_size)
         if device_pool:
             self.pool_states = conditioned_nca_seed(cfg, pool_size)
+            # Constant 2-seed template (forced fresh seeds + dead reseeds):
+            # built once — rebuilding it per iteration is several tiny
+            # dispatches over the tunnel.
+            self._seed2 = conditioned_nca_seed(cfg, 2)
             thr = cfg.alpha_living_threshold
             alive_ch = cfg.alive_channel
             use_living = cfg.use_living_channel
 
-            @jax.jit
-            def _gather(pool, idx, seeds2):
+            def _assemble(pool, idx, seeds2):
                 batch = pool[idx]
                 if use_living:
                     amax = jnp.max(batch[..., alive_ch], axis=(1, 2))
@@ -193,12 +196,15 @@ class ConditionedNCATrainer:
                     )
                 return batch.at[:2].set(seeds2)
 
+            self._assemble = _assemble
+            self._gather = jax.jit(_assemble)
+
             @partial(jax.jit, donate_argnums=(0,))
             def _scatter(pool, idx, new_states):
                 return pool.at[idx].set(new_states)
 
-            self._gather = _gather
             self._scatter = _scatter
+            self._pair_cache: Dict = {}
         self.loss_fn = make_encoder_loss_fn(
             vgg_params, style_image, appearance_loss_type,
             appearance_weight, content_weight, overflow_weight,
@@ -232,6 +238,72 @@ class ConditionedNCATrainer:
         return (
             self.pool_states.shape[0] if self.device_pool else len(self.pool)
         )
+
+    def _step_body(self, num_steps: int):
+        """Un-jitted single train-batch step (shared by the per-step jit
+        and the fused pooled-pair program)."""
+        cfg = self.cfg
+        loss_fn = self.loss_fn
+        optimizer = self.optimizer
+        remat = self.grow_remat
+
+        def step(params, opt_state, batch, targets, key):
+            k_grow, k_loss = jax.random.split(key)
+
+            def objective(p):
+                grown = conditioned_nca_grow(
+                    p, batch, targets, k_grow, cfg, num_steps,
+                    remat=remat,
+                )
+                generated = grown[..., : cfg.num_target_channels]
+                loss, logs = loss_fn(grown, generated, targets, k_loss)
+                return loss, (grown, logs)
+
+            (loss, (grown, logs)), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(params)
+            if cfg.use_living_channel:
+                logs["alive_frac"] = jnp.mean(
+                    (
+                        grown[..., cfg.alive_channel]
+                        > cfg.alpha_living_threshold
+                    ).astype(jnp.float32)
+                )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, grown, loss, logs
+
+        return step
+
+    def _pooled_pair_fn(self, n1: int, n2: int):
+        """ONE jitted program for a full device-pool iteration: batch
+        assembly (gather + dead-reseed + forced seeds) → train step n1 →
+        train step n2 → pool scatter. Collapses 4 dispatches to 1 — each
+        dispatch costs ms-class host latency on the tunneled backend
+        (docs/hw_r5/encoder_marginals2.log: 101 ms of dispatch/fetch
+        overhead above the chained device time)."""
+        key = (n1, n2)
+        if key not in self._pair_cache:
+            assemble = self._assemble
+            step1 = self._step_body(n1)
+            step2 = self._step_body(n2)
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def pair(params, opt_state, pool, idx, seeds2, targets, k1, k2):
+                # k1/k2 are the SAME two keys the two-dispatch path draws,
+                # so both paths produce identical iterations.
+                batch = assemble(pool, idx, seeds2)
+                params, opt_state, batch, _, _ = step1(
+                    params, opt_state, batch, targets, k1
+                )
+                params, opt_state, batch, loss, logs = step2(
+                    params, opt_state, batch, targets, k2
+                )
+                pool = pool.at[idx].set(batch)
+                return params, opt_state, pool, loss, logs
+
+            self._pair_cache[key] = pair
+        return self._pair_cache[key]
 
     def _train_batch_fn(self, num_steps: int):
         if num_steps not in self._step_cache:
@@ -309,39 +381,62 @@ class ConditionedNCATrainer:
         batch TWICE, write back (conditioned_trainer.py:158-177)."""
         idxs = self.py_rng.sample(range(self._pool_size()), batch_size)
         targets = self.dataset.sample(self.rng, batch_size)
-
-        if self.device_pool:
-            batch = self._gather(
-                self.pool_states, jnp.asarray(idxs),
-                conditioned_nca_seed(self.cfg, 2),
-            )
-        else:
-            def reseed(n):
-                return np.asarray(conditioned_nca_seed(self.cfg, n))
-
-            batch_np = self.pool.get(idxs, reseed, is_dead_fn=self._is_dead)
-            batch = jnp.asarray(batch_np)
-            batch = batch.at[:2].set(conditioned_nca_seed(self.cfg, 2))
-        if self.num_damaged:
-            batch = self.damage(batch)
-
         n1 = num_steps if num_steps is not None else self.sample_num_steps()
-        step1 = self._train_batch_fn(n1)
-        self.params, self.opt_state, outputs, loss, logs = step1(
-            self.params, self.opt_state, batch, targets, self._next_key()
-        )
-        n2 = num_steps if num_steps is not None else self.sample_num_steps()
-        step2 = self._train_batch_fn(n2)
-        self.params, self.opt_state, outputs, loss, logs = step2(
-            self.params, self.opt_state, outputs, targets, self._next_key()
-        )
 
-        # Queue the pool write-back BEFORE the blocking metrics fetch so the
-        # scatter dispatch rides the same device stream (device-pool mode).
-        if self.device_pool:
-            self.pool_states = self._scatter(
-                self.pool_states, jnp.asarray(idxs), outputs
+        if self.device_pool and not self.num_damaged:
+            # Fast path: the whole iteration (assemble -> train-twice ->
+            # write-back) is ONE jitted program + one metrics fetch.
+            n2 = (
+                num_steps if num_steps is not None else self.sample_num_steps()
             )
+            pair = self._pooled_pair_fn(n1, n2)
+            (
+                self.params,
+                self.opt_state,
+                self.pool_states,
+                loss,
+                logs,
+            ) = pair(
+                self.params, self.opt_state, self.pool_states,
+                jnp.asarray(idxs), self._seed2, targets,
+                self._next_key(), self._next_key(),
+            )
+            outputs = None
+        else:
+            if self.device_pool:
+                batch = self._gather(
+                    self.pool_states, jnp.asarray(idxs), self._seed2
+                )
+            else:
+                def reseed(n):
+                    return np.asarray(conditioned_nca_seed(self.cfg, n))
+
+                batch_np = self.pool.get(
+                    idxs, reseed, is_dead_fn=self._is_dead
+                )
+                batch = jnp.asarray(batch_np)
+                batch = batch.at[:2].set(conditioned_nca_seed(self.cfg, 2))
+            if self.num_damaged:
+                batch = self.damage(batch)
+
+            step1 = self._train_batch_fn(n1)
+            self.params, self.opt_state, outputs, loss, logs = step1(
+                self.params, self.opt_state, batch, targets, self._next_key()
+            )
+            n2 = (
+                num_steps if num_steps is not None else self.sample_num_steps()
+            )
+            step2 = self._train_batch_fn(n2)
+            self.params, self.opt_state, outputs, loss, logs = step2(
+                self.params, self.opt_state, outputs, targets, self._next_key()
+            )
+
+            # Queue the pool write-back BEFORE the blocking metrics fetch so
+            # the scatter dispatch rides the same device stream.
+            if self.device_pool:
+                self.pool_states = self._scatter(
+                    self.pool_states, jnp.asarray(idxs), outputs
+                )
 
         # One blocking fetch for loss + all metric scalars (per-term float()
         # is one tunnel round-trip each on the axon backend).
@@ -366,8 +461,14 @@ class ConditionedNCATrainer:
             self.best_loss = loss_f
             self.best_iteration = self.iteration
             self._plateau = 0
-            # Host snapshot (the params are ~10^4-10^5 floats; one fetch).
-            self._best_params = jax.tree_util.tree_map(np.asarray, self.params)
+            # Device-side snapshot (async device copy, no host round-trip):
+            # early training improves most epochs and a host fetch per
+            # improvement is a blocking tunnel round-trip. Must be a real
+            # COPY — the fused pair program donates the params buffers, so
+            # a no-copy reference would be invalidated next iteration.
+            self._best_params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a).copy(), self.params
+            )
         elif self.recovery_patience and loss_f > self.recovery_factor * self.best_loss:
             self._plateau += 1
             if self._plateau >= self.recovery_patience:
@@ -385,7 +486,11 @@ class ConditionedNCATrainer:
         ctor note). No-op if no best snapshot exists yet."""
         if self._best_params is None:
             return
-        self.params = jax.tree_util.tree_map(jnp.asarray, self._best_params)
+        # COPY (not reference): the fused pair program donates self.params,
+        # which must never invalidate the held best snapshot.
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).copy(), self._best_params
+        )
         self.opt_state = self.optimizer.init(self.params)
         if self.device_pool:
             self.pool_states = conditioned_nca_seed(
