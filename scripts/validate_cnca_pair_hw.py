@@ -1,0 +1,141 @@
+"""Hardware validation + timing of the fused cnca custom-VJP train pair.
+
+1. fire_rate=1 equality of fused_cnca_train fwd + all grads vs the XLA
+   scan AT THE PRODUCTION SHAPE (64px, c20, d64, b8, 64 steps) on the real
+   chip (interpret mode diverges from hardware — CLAUDE.md).
+2. Production encoder-trainer it/s A/B: rollout_path='fused' (auto on TPU)
+   vs 'xla', device pool + single-program iteration in both.
+
+Not part of the library — a dev tool.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import os
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/vsnca_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(jax.jit(lambda x: x + 1)(jnp.ones(8))))
+    print(f"warmup jit: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    from vsnca_tpu.config import ConditionedNCAConfig
+    from vsnca_tpu.models.conditioned_nca import (
+        conditioned_nca_init,
+        conditioned_nca_seed,
+        conditioned_nca_step,
+        encode_goal,
+    )
+    from vsnca_tpu.ops.pallas_cnca import (
+        fused_cnca_train,
+        fused_cnca_train_supported,
+    )
+
+    out = {}
+
+    # ---- 1. hardware equality at the production shape, fire_rate=1 ----
+    cfg = ConditionedNCAConfig(image_size=64, cell_fire_rate=1.0)
+    assert fused_cnca_train_supported(cfg, 64, 64)
+    params = conditioned_nca_init(jax.random.PRNGKey(0), cfg)
+    b, n = 8, 64
+    x = conditioned_nca_seed(cfg, b, 64) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (b, 64, 64, cfg.num_channels)
+    )
+    goal_img = jax.random.uniform(jax.random.PRNGKey(2), (b, 64, 64, 3))
+
+    def loss_xla(p, xx):
+        genc = encode_goal(p, cfg, goal_img)
+
+        def body(carry, k):
+            return conditioned_nca_step(p, carry, genc, k, cfg), None
+
+        y, _ = jax.lax.scan(body, xx,
+                            jax.random.split(jax.random.PRNGKey(3), n))
+        return jnp.sum(y**2), y
+
+    def loss_fused(p, xx):
+        genc = encode_goal(p, cfg, goal_img)
+        y = fused_cnca_train(p, xx, genc, jnp.float32(7.0), cfg, n)
+        return jnp.sum(y**2), y
+
+    t0 = time.perf_counter()
+    (lx, yx), gx = jax.jit(jax.value_and_grad(
+        loss_xla, argnums=(0, 1), has_aux=True))(params, x)
+    yx_h = np.asarray(yx)
+    print(f"xla compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    (lf, yf), gf = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1), has_aux=True))(params, x)
+    yf_h = np.asarray(yf)
+    print(f"fused compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    ydiff = float(np.abs(yx_h - yf_h).max())
+    out["y_maxdiff"] = ydiff
+    out["loss_xla"] = float(lx)
+    out["loss_fused"] = float(lf)
+    gdiffs = {}
+    for (pa, a), (_, bb) in zip(
+        jax.tree_util.tree_flatten_with_path(gx)[0],
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+    ):
+        key = jax.tree_util.keystr(pa)
+        d = float(np.abs(np.asarray(a) - np.asarray(bb)).max())
+        m = float(np.abs(np.asarray(a)).max()) + 1e-12
+        gdiffs[key] = d / m
+        print(f"grad {key}: rel maxdiff {d/m:.3e}", flush=True)
+    out["grad_rel_maxdiff"] = max(gdiffs.values())
+    ok = ydiff < 1e-4 and out["grad_rel_maxdiff"] < 1e-3
+    print(f"HARDWARE PARITY {'OK' if ok else 'FAILED'} "
+          f"(y {ydiff:.2e}, grads {out['grad_rel_maxdiff']:.2e})", flush=True)
+
+    # ---- 2. production trainer it/s: fused vs xla ----
+    from vsnca_tpu.data.dataset import ConditioningDataset
+    from vsnca_tpu.data.preprocess import synthetic_video, synthetic_style_image
+    from vsnca_tpu.models.vgg import load_vgg16
+
+    from vsnca_tpu.train.encoder_trainer import ConditionedNCATrainer
+
+    dataset = ConditioningDataset(
+        (np.asarray(synthetic_video((64, 64), 8)) + 1.0) / 2.0
+    )
+    style = jnp.asarray(synthetic_style_image((64, 64), 1))
+    vgg, _ = load_vgg16()
+    for rp in ("fused", "xla"):
+        tr = ConditionedNCATrainer(
+            ConditionedNCAConfig(image_size=64), dataset, style, vgg,
+            step_buckets=(64,), pool_size=64, rollout_path=rp,
+        )
+        tr.train_iteration(batch_size=8, num_steps=64)
+        tr.train_iteration(batch_size=8, num_steps=64)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                tr.train_iteration(batch_size=8, num_steps=64)
+            dt = (time.perf_counter() - t0) / 8
+            best = dt if best is None else min(best, dt)
+        out[f"production_{rp}_ms"] = 1000 * best
+        out[f"production_{rp}_it_per_sec"] = 1.0 / best
+        print(f"production {rp}: {1000*best:.1f} ms/iter "
+              f"({1/best:.2f} it/s)", flush=True)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

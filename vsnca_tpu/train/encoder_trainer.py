@@ -139,6 +139,7 @@ class ConditionedNCATrainer:
         recovery_factor: float = 3.0,
         device_pool: bool = True,
         grow_remat: str = "per_step",
+        rollout_path: str = "auto",
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -147,6 +148,31 @@ class ConditionedNCATrainer:
         # 64px b8 c20 x 96 steps that is ~720 MB — well within HBM — and
         # skips the forward recompute).
         self.grow_remat = grow_remat
+        # Rollout lowering: 'auto' takes the fused custom-VJP cnca pair
+        # (ops/pallas_cnca.py::fused_cnca_train) on the TPU backend when the
+        # grid fits its VMEM scope — the XLA scan costs 272 us/step b8 at
+        # 64^2 vs the fused forward's 56.6 us (docs/hw_r5/cnca_timing.log).
+        # 'fused' forces it (tests run it under force_tpu_interpret_mode);
+        # 'xla' keeps the scan. Mask streams differ between the two paths
+        # (per-step on-core PRNG vs jax.random) — distributional parity,
+        # bit-exact at cell_fire_rate=1.0 (tests/test_pallas_cnca.py).
+        from vsnca_tpu.ops.pallas_cnca import fused_cnca_train_supported
+
+        s = cfg.image_size
+        if rollout_path == "auto":
+            self._use_fused_rollout = (
+                jax.default_backend() == "tpu"
+                and fused_cnca_train_supported(cfg, s, s)
+            )
+        elif rollout_path == "fused":
+            assert fused_cnca_train_supported(cfg, s, s), (
+                f"fused cnca pair unsupported at {s}x{s} "
+                f"c{cfg.num_channels}"
+            )
+            self._use_fused_rollout = True
+        else:
+            assert rollout_path == "xla", rollout_path
+            self._use_fused_rollout = False
         self.min_steps, self.max_steps = nca_steps
         self.step_buckets = step_buckets
         self.num_damaged = num_damaged
@@ -246,15 +272,27 @@ class ConditionedNCATrainer:
         loss_fn = self.loss_fn
         optimizer = self.optimizer
         remat = self.grow_remat
+        use_fused = self._use_fused_rollout
 
         def step(params, opt_state, batch, targets, key):
             k_grow, k_loss = jax.random.split(key)
 
             def objective(p):
-                grown = conditioned_nca_grow(
-                    p, batch, targets, k_grow, cfg, num_steps,
-                    remat=remat,
-                )
+                if use_fused:
+                    from vsnca_tpu.ops.pallas_cnca import fused_cnca_train
+
+                    genc = encode_goal(p, cfg, targets)
+                    seed_f = jax.random.randint(
+                        k_grow, (), 0, jnp.int32(2**30 - 1)
+                    ).astype(jnp.float32)
+                    grown = fused_cnca_train(
+                        p, batch, genc, seed_f, cfg, num_steps
+                    )
+                else:
+                    grown = conditioned_nca_grow(
+                        p, batch, targets, k_grow, cfg, num_steps,
+                        remat=remat,
+                    )
                 generated = grown[..., : cfg.num_target_channels]
                 loss, logs = loss_fn(grown, generated, targets, k_loss)
                 return loss, (grown, logs)
@@ -307,42 +345,7 @@ class ConditionedNCATrainer:
 
     def _train_batch_fn(self, num_steps: int):
         if num_steps not in self._step_cache:
-            cfg = self.cfg
-            loss_fn = self.loss_fn
-            optimizer = self.optimizer
-            remat = self.grow_remat
-
-            @jax.jit
-            def step(params, opt_state, batch, targets, key):
-                k_grow, k_loss = jax.random.split(key)
-
-                def objective(p):
-                    grown = conditioned_nca_grow(
-                        p, batch, targets, k_grow, cfg, num_steps,
-                        remat=remat,
-                    )
-                    generated = grown[..., : cfg.num_target_channels]
-                    loss, logs = loss_fn(grown, generated, targets, k_loss)
-                    return loss, (grown, logs)
-
-                (loss, (grown, logs)), grads = jax.value_and_grad(
-                    objective, has_aux=True
-                )(params)
-                if cfg.use_living_channel:
-                    # Collapse diagnostic: fraction of cells above the
-                    # living threshold after growth (free to log — the
-                    # scalar rides the existing single-fetch stack).
-                    logs["alive_frac"] = jnp.mean(
-                        (
-                            grown[..., cfg.alive_channel]
-                            > cfg.alpha_living_threshold
-                        ).astype(jnp.float32)
-                    )
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, grown, loss, logs
-
-            self._step_cache[num_steps] = step
+            self._step_cache[num_steps] = jax.jit(self._step_body(num_steps))
         return self._step_cache[num_steps]
 
     def sample_num_steps(self) -> int:
