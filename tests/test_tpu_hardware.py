@@ -283,3 +283,83 @@ def test_inkernel_taps_hardware_matches_chunked():
         scale = float(jnp.abs(gc[k]).max()) + 1e-12
         err = float(jnp.abs(gt[k] - gc[k]).max()) / scale
         assert err < 1e-3, (k, err)
+
+
+def test_cnca_train_pair_hardware_gate_free_parity():
+    """fused_cnca_train fwd + grads vs the XLA scan on the chip, with
+    use_living_channel=False (no discrete alive gates) so MXU rounding
+    cannot amplify through threshold flips — the strict kernel check.
+    With gates, 64-step pointwise parity is unattainable for ANY lowering
+    (XLA default-vs-highest diverges by the same magnitude —
+    docs/hw_r5/cnca_pair_hw2.log control)."""
+    from vsnca_tpu.config import ConditionedNCAConfig
+    from vsnca_tpu.models.conditioned_nca import (
+        conditioned_nca_init,
+        conditioned_nca_step,
+        encode_goal,
+    )
+    from vsnca_tpu.ops.pallas_cnca import fused_cnca_train
+
+    cfg = ConditionedNCAConfig(image_size=64, cell_fire_rate=1.0,
+                               use_living_channel=False)
+    params = conditioned_nca_init(jax.random.PRNGKey(0), cfg)
+    b, n = 2, 8
+    x = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (b, 64, 64, cfg.num_channels)
+    )
+    goal_img = jax.random.uniform(jax.random.PRNGKey(2), (b, 64, 64, 3))
+
+    def loss_xla(p, xx):
+        genc = encode_goal(p, cfg, goal_img)
+
+        def body(carry, k):
+            return conditioned_nca_step(p, carry, genc, k, cfg), None
+
+        y, _ = jax.lax.scan(body, xx,
+                            jax.random.split(jax.random.PRNGKey(3), n))
+        return jnp.sum(y**2), y
+
+    def loss_fused(p, xx):
+        genc = encode_goal(p, cfg, goal_img)
+        y = fused_cnca_train(p, xx, genc, jnp.float32(7.0), cfg, n)
+        return jnp.sum(y**2), y
+
+    with jax.default_matmul_precision("default"):
+        (lx, yx), gx = jax.jit(jax.value_and_grad(
+            loss_xla, argnums=(0, 1), has_aux=True))(params, x)
+    (lf, yf), gf = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1), has_aux=True))(params, x)
+    # Tolerances = the measured DEFAULT-precision MXU envelope (bf16-class
+    # passes, rel eps ~4e-3; docs/hw_r5/cnca_pair_hw3.log: nolife_n8 y
+    # 1.9e-3, grads rel 1.7e-2) — the interpret-mode test proves exact f32
+    # math; this check catches structural (not rounding) divergence.
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
+                               rtol=5e-3, atol=5e-3)
+    for a, bb in zip(jax.tree_util.tree_leaves(gx),
+                     jax.tree_util.tree_leaves(gf)):
+        d = float(np.abs(np.asarray(a) - np.asarray(bb)).max())
+        m = float(np.abs(np.asarray(a)).max()) + 1e-12
+        assert d / m < 5e-2, (d, m)
+
+
+def test_cnca_train_pair_hardware_mask_fraction():
+    """Stochastic path on real PRNG (interpret returns zeros): at
+    fire_rate=0.5 roughly half the pixels must update each step."""
+    from vsnca_tpu.config import ConditionedNCAConfig
+    from vsnca_tpu.models.conditioned_nca import (
+        conditioned_nca_init,
+        conditioned_nca_seed,
+        encode_goal,
+    )
+    from vsnca_tpu.ops.pallas_cnca import fused_cnca_train
+
+    cfg = ConditionedNCAConfig(image_size=64, use_living_channel=False)
+    params = conditioned_nca_init(jax.random.PRNGKey(0), cfg)
+    x = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (1, 64, 64, cfg.num_channels)
+    )
+    goal_img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    genc = encode_goal(params, cfg, goal_img)
+    y = fused_cnca_train(params, x, genc, jnp.float32(11.0), cfg, 1)
+    changed = np.any(np.asarray(y != x), axis=-1).mean()
+    assert 0.4 < changed < 0.6, changed
