@@ -43,9 +43,16 @@ def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
         return x
     a_h = jnp.asarray(_bilinear_matrix(size[0], h), x.dtype)
     a_w = jnp.asarray(_bilinear_matrix(size[1], w), x.dtype)
-    return jnp.einsum(
-        "iu,buvc,jv->bijc", a_h, x, a_w, preferred_element_type=x.dtype
-    )
+    # Pin HIGHEST matmul precision: under the TPU DEFAULT (one bf16 pass,
+    # rel eps ~4e-3) a resize inside an XLA reference path would inject
+    # bf16-class rounding that the gather lowering never had (caught by
+    # test_ms_fused_pair_hardware_grad_parity drifting 7e-5 -> 1.1e-3).
+    # The matrices are 2-nonzeros-per-row tiny, so the 6-pass cost is
+    # negligible; the backward keeps the matmul (not scatter) form.
+    with jax.default_matmul_precision("highest"):
+        return jnp.einsum(
+            "iu,buvc,jv->bijc", a_h, x, a_w, preferred_element_type=x.dtype
+        )
 
 
 def resize_nearest_1d(x: jnp.ndarray, n: int) -> jnp.ndarray:
